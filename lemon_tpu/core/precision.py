@@ -1,0 +1,39 @@
+"""Precision policy.
+
+The reference runs everything in fp32 (fp16 only via the chexzero
+``convert_weights`` path, /root/reference/lib/models/chexzero_clip.py:395-416).
+On TPU the natural fast path is bfloat16 compute with fp32 accumulation on the
+MXU; fp32 end-to-end is the parity mode (AUROC-within-0.001 acceptance is
+defined against fp32 reference numerics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Compute/parameter/output dtypes for the model stack."""
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    # LayerNorm always runs in fp32 regardless of compute dtype, matching the
+    # fp16-safe LayerNorm semantics of CLIP (chexzero_clip.py:177-183).
+    ln_dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def fp32() -> "Precision":
+        return Precision()
+
+    @staticmethod
+    def bf16() -> "Precision":
+        return Precision(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+
+
+def default_precision() -> Precision:
+    mode = os.environ.get("LEMON_TPU_PRECISION", "fp32").lower()
+    return Precision.bf16() if mode in ("bf16", "bfloat16") else Precision.fp32()

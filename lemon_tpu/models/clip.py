@@ -1,0 +1,340 @@
+"""Flax CLIP: vision transformer + text transformer towers.
+
+TPU-native re-design of the CLIP family used by the reference
+(/root/reference/lib/models/chexzero_clip.py:263-392 and the HuggingFace
+``openai/clip-vit-base-patch32`` path in run_lemon.py:112-115):
+
+- Patch embedding is a reshape + one large matmul instead of a strided conv
+  (bit-identical for non-overlapping patches, and it maps straight onto the
+  MXU without relying on conv lowering).
+- Attention is a single fused QKV projection + scaled dot-product; a Pallas
+  flash-attention kernel can be slotted in via ``attention_impl='pallas'``
+  (at CLIP's 50/77-token sequences the XLA-fused path is already
+  compute-bound, so 'xla' is the default).
+- LayerNorm always computes in fp32 regardless of the compute dtype,
+  matching CLIP's fp16-safe LayerNorm (chexzero_clip.py:177-183).
+- Text pooling takes the hidden state at the first-EOT position (argmax of
+  token ids, chexzero_clip.py:374) and projects it.
+
+Weight compatibility: :mod:`lemon_tpu.models.loader` converts both
+HuggingFace ``CLIPModel`` checkpoints and OpenAI/chexzero state dicts into
+this module's parameter pytree; outputs are parity-tested against
+``transformers.CLIPModel`` to fp32 tolerance in tests/test_clip_parity.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemon_tpu.core.precision import Precision
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipConfig:
+    embed_dim: int = 512
+    # Vision tower
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 32
+    vision_heads: Optional[int] = None  # default: width // 64
+    # Text tower
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    # QuickGELU (x * sigmoid(1.702 x)) is what OpenAI CLIP checkpoints use.
+    quick_gelu: bool = True
+    attention_impl: str = "xla"  # 'xla' | 'pallas'
+
+    @property
+    def v_heads(self) -> int:
+        return self.vision_heads or self.vision_width // 64
+
+    @property
+    def grid(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @staticmethod
+    def vit_b32() -> "ClipConfig":
+        """openai/clip-vit-base-patch32 (run_lemon.py:113)."""
+        return ClipConfig()
+
+    @staticmethod
+    def vit_b16(embed_dim: int = 512, context_length: int = 77) -> "ClipConfig":
+        """ViT-B/16 as used by the from-scratch MIMIC/CC3M models
+        (chexzero_clip.py:458-470 uses embed_dim=768, context 256)."""
+        return ClipConfig(
+            embed_dim=embed_dim,
+            vision_patch_size=16,
+            context_length=context_length,
+        )
+
+    @staticmethod
+    def from_scratch_mimic() -> "ClipConfig":
+        return ClipConfig.vit_b16(embed_dim=768, context_length=256)
+
+    @staticmethod
+    def tiny(vocab_size: int = 49408) -> "ClipConfig":
+        """Small config for tests: full code path, toy sizes."""
+        return ClipConfig(
+            embed_dim=32,
+            image_resolution=32,
+            vision_layers=2,
+            vision_width=64,
+            vision_patch_size=16,
+            context_length=16,
+            vocab_size=vocab_size,
+            text_width=64,
+            text_heads=2,
+            text_layers=2,
+        )
+
+
+class FpLayerNorm(nn.Module):
+    """LayerNorm computed in fp32, output cast back to the input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(orig)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV.
+
+    ``mask`` is an additive bias broadcastable to (B, H, L, L); None for the
+    vision tower, causal for the text tower.
+    """
+
+    num_heads: int
+    compute_dtype: Any = jnp.float32
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, l, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, h, hd)
+        k = k.reshape(b, l, h, hd)
+        v = v.reshape(b, l, h, hd)
+
+        if self.impl == "pallas":
+            from lemon_tpu.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v, causal=mask is not None)
+        else:
+            scale = hd ** -0.5
+            logits = jnp.einsum(
+                "blhd,bmhd->bhlm", q * scale, k, preferred_element_type=jnp.float32
+            )
+            if mask is not None:
+                logits = logits + mask
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+
+        out = out.reshape(b, l, d)
+        return nn.Dense(d, dtype=self.compute_dtype, name="out")(out)
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    quick_gelu: bool = True
+    compute_dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        d = x.shape[-1]
+        act = quick_gelu if self.quick_gelu else jax.nn.gelu
+        x = x + Attention(
+            self.num_heads,
+            compute_dtype=self.compute_dtype,
+            impl=self.attention_impl,
+            name="attn",
+        )(FpLayerNorm(name="ln_1")(x), mask)
+        y = FpLayerNorm(name="ln_2")(x)
+        y = nn.Dense(4 * d, dtype=self.compute_dtype, name="mlp_fc")(y)
+        y = act(y)
+        y = nn.Dense(d, dtype=self.compute_dtype, name="mlp_proj")(y)
+        return x + y
+
+
+class Transformer(nn.Module):
+    layers: int
+    num_heads: int
+    quick_gelu: bool = True
+    compute_dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.layers):
+            x = TransformerBlock(
+                self.num_heads,
+                quick_gelu=self.quick_gelu,
+                compute_dtype=self.compute_dtype,
+                attention_impl=self.attention_impl,
+                name=f"block_{i}",
+            )(x, mask)
+        return x
+
+
+class VisionTower(nn.Module):
+    """ViT with class token, learned position embeddings and a final
+    projection (chexzero_clip.py:226-260)."""
+
+    cfg: ClipConfig
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels):
+        """``pixels``: (B, H, W, 3) NHWC, already normalized."""
+        cfg = self.cfg
+        b = pixels.shape[0]
+        p = cfg.vision_patch_size
+        g = cfg.grid
+        w = cfg.vision_width
+
+        # Non-overlapping patch embed as reshape + matmul (MXU-friendly).
+        x = pixels.astype(self.compute_dtype)
+        x = x.reshape(b, g, p, g, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
+        patch_kernel = self.param(
+            "patch_embedding",
+            nn.initializers.lecun_normal(),
+            (p * p * 3, w),
+            jnp.float32,
+        )
+        x = jnp.dot(x, patch_kernel.astype(self.compute_dtype), preferred_element_type=jnp.float32).astype(
+            self.compute_dtype
+        )
+
+        cls = self.param("class_embedding", nn.initializers.normal(w ** -0.5), (w,), jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (b, 1, w)), x], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(w ** -0.5),
+            (g * g + 1, w),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        x = FpLayerNorm(name="ln_pre")(x)
+        x = Transformer(
+            cfg.vision_layers,
+            cfg.v_heads,
+            quick_gelu=cfg.quick_gelu,
+            compute_dtype=self.compute_dtype,
+            attention_impl=cfg.attention_impl,
+            name="transformer",
+        )(x)
+        x = FpLayerNorm(name="ln_post")(x[:, 0, :])
+        proj = self.param(
+            "proj", nn.initializers.normal(w ** -0.5), (w, cfg.embed_dim), jnp.float32
+        )
+        return jnp.dot(x.astype(self.compute_dtype), proj.astype(self.compute_dtype), preferred_element_type=jnp.float32)
+
+
+class TextTower(nn.Module):
+    """Causal text transformer with first-EOT pooling
+    (chexzero_clip.py:355-376)."""
+
+    cfg: ClipConfig
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        cfg = self.cfg
+        b, l = tokens.shape
+        w = cfg.text_width
+        emb = self.param(
+            "token_embedding", nn.initializers.normal(0.02), (cfg.vocab_size, w), jnp.float32
+        )
+        x = jnp.take(emb, tokens, axis=0).astype(self.compute_dtype)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01), (cfg.context_length, w), jnp.float32
+        )
+        x = x + pos[:l].astype(x.dtype)
+
+        causal = jnp.full((l, l), -jnp.inf, dtype=jnp.float32)
+        causal = jnp.triu(causal, k=1)[None, None, :, :]
+
+        x = Transformer(
+            cfg.text_layers,
+            cfg.text_heads,
+            quick_gelu=cfg.quick_gelu,
+            compute_dtype=self.compute_dtype,
+            attention_impl=cfg.attention_impl,
+            name="transformer",
+        )(x, causal)
+        x = FpLayerNorm(name="ln_final")(x)
+
+        # Pool at the first EOT: ids peak at the EOT token, and argmax
+        # returns the first occurrence, so this works for both zero- and
+        # EOT-padded batches.
+        eot_pos = jnp.argmax(tokens, axis=-1)
+        pooled = x[jnp.arange(b), eot_pos]
+        proj = self.param(
+            "text_projection", nn.initializers.normal(w ** -0.5), (w, cfg.embed_dim), jnp.float32
+        )
+        return jnp.dot(pooled.astype(self.compute_dtype), proj.astype(self.compute_dtype), preferred_element_type=jnp.float32)
+
+
+class ClipModel(nn.Module):
+    """Two-tower CLIP with a learned temperature (chexzero_clip.py:263-392)."""
+
+    cfg: ClipConfig
+    precision: Precision = Precision()
+
+    def setup(self):
+        self.visual = VisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
+        self.text = TextTower(self.cfg, compute_dtype=self.precision.compute_dtype)
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(1 / 0.07), jnp.float32),
+            (),
+        )
+
+    def encode_image(self, pixels):
+        return self.visual(pixels)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, pixels, tokens):
+        img = self.encode_image(pixels)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def init_params(cfg: ClipConfig, seed: int = 0, precision: Precision = Precision()):
+    model = ClipModel(cfg, precision=precision)
+    pixels = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32)
+    tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
+    return model, model.init(jax.random.PRNGKey(seed), pixels, tokens)

@@ -1,0 +1,210 @@
+"""Hyperparameter optimization for the 6-dim LEMoN score.
+
+Reference strategy (lib/metrics/utils.py:151-196): ensemble-max over
+ (a) scipy Powell and Nelder-Mead from 4 starts on the true (step-function)
+     F1 objective,
+ (b) LBFGS on a differentiable SoftMarginLoss proxy from the same starts,
+ (c) a coarse 8,000-point grid (beta,gamma in 0..100 step 5; taus in
+     {0,1,5,10}, run_lemon.py:332-337).
+
+TPU-native redesign: the scipy polishers stay on host (tiny 6-dim problems,
+identical code path = identical trajectories); the proxy fit uses JAX
+autodiff + L-BFGS-B; and the grid evaluates as ONE batched device program —
+(G, N) scores via :func:`calc_scores_grid` and an exact all-thresholds F1
+sweep via sort+cumsum (:func:`grid_best_f1_device`), replacing 8,000
+sequential fminbound searches. The exact sweep dominates the reference's
+fminbound F1 (a step function can defeat golden-section search), so the
+ensemble can only improve.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from lemon_tpu.scoring.lemon import (
+    HPARAM_ORDER,
+    NeighborLogs,
+    calc_scores,
+    calc_scores_grid,
+    soft_margin_proxy_loss,
+    unpack_hparams,
+)
+from lemon_tpu.scoring.thresholds import optimize_f1_efficient
+
+
+def default_grid() -> Dict[str, Sequence[float]]:
+    """The run_lemon grid (run_lemon.py:332-337); tau_1/tau_2 are shared
+    between the _n and _m variants."""
+    return {
+        "beta": np.arange(0, 100.01, 5),
+        "gamma": np.arange(0, 100.01, 5),
+        "tau_1": [0, 1, 5, 10],
+        "tau_2": [0, 1, 5, 10],
+    }
+
+
+def grid_to_matrix(grid: Dict[str, Sequence[float]], force_zero=()) -> np.ndarray:
+    """Expand a named grid into a (G, 6) matrix in HPARAM_ORDER, mapping the
+    shared tau_1 -> (tau_1_n, tau_1_m) and tau_2 -> (tau_2_n, tau_2_m)."""
+    from itertools import product
+
+    keys = list(grid.keys())
+    rows = []
+    for combo in product(*[grid[k] for k in keys]):
+        named = dict(zip(keys, combo))
+        row = []
+        for name in HPARAM_ORDER:
+            if name in named:
+                v = named[name]
+            elif name in ("tau_1_n", "tau_1_m"):
+                v = named["tau_1"]
+            elif name in ("tau_2_n", "tau_2_m"):
+                v = named["tau_2"]
+            else:
+                raise KeyError(name)
+            row.append(0.0 if name in force_zero else v)
+        rows.append(row)
+    return np.asarray(rows, dtype=np.float64)
+
+
+@jax.jit
+def _best_f1_rows(scores: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Exact max-over-thresholds F1 for each row of (G, N) scores."""
+    n = scores.shape[1]
+    order = jnp.argsort(-scores, axis=1)
+    s_sorted = jnp.take_along_axis(scores, order, axis=1)
+    y_sorted = y[order]
+    tp = jnp.cumsum(y_sorted, axis=1)
+    pred_pos = jnp.arange(1, n + 1, dtype=scores.dtype)[None, :]
+    pos = jnp.sum(y)
+    f1 = 2.0 * tp / (pred_pos + pos)
+    realizable = jnp.concatenate(
+        [s_sorted[:, :-1] > s_sorted[:, 1:], jnp.ones((scores.shape[0], 1), bool)], axis=1
+    )
+    return jnp.max(jnp.where(realizable, f1, -1.0), axis=1)
+
+
+def grid_best_f1_device(logs: NeighborLogs, y: np.ndarray, grid_matrix: np.ndarray, batch: int = 128) -> np.ndarray:
+    """F1-at-optimal-threshold for every grid point, fully on device."""
+    y_dev = jnp.asarray(y, jnp.float32)
+    out = []
+    for start in range(0, len(grid_matrix), batch):
+        scores = calc_scores_grid(logs, grid_matrix[start : start + batch], batch=batch)
+        out.append(np.asarray(_best_f1_rows(jnp.asarray(scores), y_dev)))
+    return np.concatenate(out)
+
+
+def _objective(x, logs: NeighborLogs, y, obj_func: Callable, obj_args: dict, force_zero, force_one) -> float:
+    h = unpack_hparams(x, force_zero, force_one)
+    with np.errstate(over="ignore", invalid="ignore"):
+        score = calc_scores(logs, h)
+    if not np.all(np.isfinite(score)):
+        # Extreme tau/beta candidates (e.g. a diverged proxy fit) overflow
+        # exp(); treat them as maximally bad instead of crashing the
+        # threshold search.
+        return np.inf
+    return -obj_func(y, score, **obj_args)
+
+
+def _proxy_lbfgs(logs: NeighborLogs, y: np.ndarray, x0, force_zero, force_one) -> np.ndarray:
+    """Minimize the SoftMarginLoss proxy with JAX autodiff + L-BFGS-B
+    (replaces torch LBFGS, lib/metrics/utils.py:129-141)."""
+    arrays = tuple(
+        jnp.asarray(a, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        for a in (
+            logs.d_1,
+            logs.dists_n,
+            logs.D_n,
+            logs.dists_tr_n,
+            logs.dists_m,
+            logs.D_m,
+            logs.dists_tr_m,
+        )
+    )
+    y_signed = jnp.asarray(np.asarray(y, np.float64) * 2 - 1, arrays[0].dtype)
+    fz = jnp.asarray([name in force_zero for name in HPARAM_ORDER])
+    fo = jnp.asarray([name in force_one for name in HPARAM_ORDER])
+    val_grad = jax.jit(jax.value_and_grad(lambda x: soft_margin_proxy_loss(x, arrays, y_signed, fz, fo)))
+
+    def f(x):
+        v, g = val_grad(jnp.asarray(x, arrays[0].dtype))
+        return float(v), np.asarray(g, np.float64)
+
+    res = minimize(f, np.asarray(x0, np.float64), jac=True, method="L-BFGS-B", options={"maxiter": 100})
+    return res.x
+
+
+def maximize_metric(
+    logs_val: NeighborLogs,
+    grid: Dict[str, Sequence[float]] | None = None,
+    x0s: Iterable[Sequence[float]] = ((0,) * 6, (0.5,) * 6, (1,) * 6, (10,) * 6),
+    obj_func: Callable = optimize_f1_efficient,
+    obj_func_args: dict | None = None,
+    force_zero: Sequence[str] = (),
+    force_one: Sequence[str] = (),
+    scipy_methods: Sequence[str] = ("Powell", "Nelder-Mead"),
+    use_device_grid: bool = True,
+) -> Tuple[np.ndarray, float, float]:
+    """Returns (best 6-vector, best objective value, threshold at optimum).
+
+    Signature and ensemble semantics mirror lib/metrics/utils.py:151-196;
+    the grid pass runs on device unless ``use_device_grid=False``.
+    """
+    obj_func_args = obj_func_args or {}
+    grid = grid if grid is not None else default_grid()
+    y = np.asarray(logs_val.is_mislabel)
+
+    best_x: np.ndarray | None = None
+    best_val = -1.0
+
+    def consider(x):
+        nonlocal best_x, best_val
+        val = -_objective(x, logs_val, y, obj_func, obj_func_args, force_zero, force_one)
+        if val > best_val:
+            best_val = val
+            best_x = np.asarray(x, np.float64)
+
+    for x0 in x0s:
+        for method in scipy_methods:
+            res = minimize(
+                _objective,
+                np.asarray(x0, np.float64),
+                args=(logs_val, y, obj_func, obj_func_args, force_zero, force_one),
+                method=method,
+                options={},
+            )
+            if -res.fun > best_val:
+                best_val = float(-res.fun)
+                best_x = res.x
+
+    for x0 in x0s:
+        cand = _proxy_lbfgs(logs_val, y, x0, force_zero, force_one)
+        consider(cand)
+
+    gm = grid_to_matrix(grid, force_zero=force_zero)
+    if use_device_grid:
+        f1s = grid_best_f1_device(logs_val, y, gm)
+        # Re-rank the leading candidates under the caller's objective (its
+        # threshold search can order near-ties differently than the exact
+        # device sweep).
+        for row_idx in np.argsort(-f1s)[:8]:
+            consider(gm[int(row_idx)])
+    else:
+        for row in gm:
+            consider(row)
+
+    assert best_x is not None
+    for c, name in enumerate(HPARAM_ORDER):
+        if name in force_zero:
+            best_x[c] = 0.0
+        if name in force_one:
+            best_x[c] = 1.0
+
+    score = calc_scores(logs_val, unpack_hparams(best_x, force_zero, force_one))
+    _, thres = obj_func(y, score, return_thres=True, **obj_func_args)
+    return best_x, best_val, thres

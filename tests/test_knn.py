@@ -1,0 +1,95 @@
+"""kNN kernel parity vs the numpy oracle, including FAISS semantics
+(SURVEY.md §4 plan item 2: score signs, tie order, self-exclusion)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lemon_tpu.core.mesh import get_mesh
+from lemon_tpu.knn.index import ExactKnnIndex, numpy_search, train_split_exclusion
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("n,tile", [(100, 32), (1000, 256), (513, 128)])
+def test_search_matches_numpy(metric, n, tile):
+    rng = np.random.default_rng(42)
+    xb = normed(rng, n, 32)
+    xq = normed(rng, 37, 32)
+    ref_d, ref_i = numpy_search(xb, xq, 7, metric)
+
+    index = ExactKnnIndex(metric=metric, tile=tile)
+    index.add(xb)
+    d, i = index.search(xq, 7)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+
+
+def test_incremental_add():
+    rng = np.random.default_rng(0)
+    xb = normed(rng, 300, 16)
+    xq = normed(rng, 5, 16)
+    index = ExactKnnIndex(metric="ip", tile=64)
+    index.add(xb[:100])
+    index.add(xb[100:])
+    d, i = index.search(xq, 3)
+    ref_d, ref_i = numpy_search(xb, xq, 3, "ip")
+    np.testing.assert_array_equal(i, ref_i)
+
+
+def test_self_match_is_first_for_member_queries():
+    """A query that is a database row must return itself first (ip metric on
+    normalized vectors -> score 1.0), which the reference's k+1 exclusion
+    depends on (run_lemon.py:257-263)."""
+    rng = np.random.default_rng(1)
+    xb = normed(rng, 128, 8)
+    index = ExactKnnIndex(metric="ip", tile=32)
+    index.add(xb)
+    d, i = index.search(xb[:10], 4)
+    np.testing.assert_array_equal(i[:, 0], np.arange(10))
+    np.testing.assert_allclose(d[:, 0], 1.0, atol=1e-5)
+
+    index_l2 = ExactKnnIndex(metric="l2", tile=32)
+    index_l2.add(xb)
+    d, i = index_l2.search(xb[:10], 4)
+    np.testing.assert_array_equal(i[:, 0], np.arange(10))
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-5)
+
+
+def test_tie_break_ascending_index():
+    xb = np.tile(np.array([[1.0, 0.0]], np.float32), (10, 1))  # all identical
+    xq = np.array([[1.0, 0.0]], np.float32)
+    index = ExactKnnIndex(metric="ip", tile=4)
+    index.add(xb)
+    _, i = index.search(xq, 5)
+    np.testing.assert_array_equal(i[0], [0, 1, 2, 3, 4])
+
+
+def test_train_split_exclusion():
+    scores = np.arange(12, dtype=np.float32).reshape(2, 6)
+    idx = np.arange(12, dtype=np.int32).reshape(2, 6)
+    in_comp = np.array([True, False])
+    s, i = train_split_exclusion(scores, idx, None, in_comp)
+    np.testing.assert_array_equal(i[0], idx[0, 1:])  # member: drop first
+    np.testing.assert_array_equal(i[1], idx[1, :5])  # non-member: drop last
+
+
+def test_sharded_search_matches_numpy():
+    """Database sharded over an 8-device CPU mesh; results identical to the
+    single-device oracle (SURVEY.md §7 hard part #4)."""
+    mesh = get_mesh()
+    rng = np.random.default_rng(7)
+    xb = normed(rng, 1000, 16)  # not divisible by 8 -> padded shards
+    xq = normed(rng, 23, 16)
+    for metric in ("ip", "l2"):
+        index = ExactKnnIndex(metric=metric, tile=64, mesh=mesh)
+        index.add(xb)
+        d, i = index.search(xq, 9)
+        ref_d, ref_i = numpy_search(xb, xq, 9, metric)
+        np.testing.assert_array_equal(i, ref_i)
+        np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)

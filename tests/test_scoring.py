@@ -1,0 +1,203 @@
+"""Golden-value tests for the LEMoN score, thresholds, metrics, and the
+hyperparameter optimizer (SURVEY.md §4 plan item 1; §7 build step 4)."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import f1_score, roc_auc_score
+
+import jax.numpy as jnp
+
+from lemon_tpu.scoring.lemon import (
+    NeighborLogs,
+    calc_scores,
+    calc_scores_grid,
+    pack_hparams,
+    unpack_hparams,
+)
+from lemon_tpu.scoring.metrics import (
+    auroc_device,
+    binary_metrics,
+    eval_metrics,
+    expected_calibration_error,
+    prob_metrics,
+)
+from lemon_tpu.scoring.optimize import (
+    _best_f1_rows,
+    default_grid,
+    grid_best_f1_device,
+    grid_to_matrix,
+    maximize_metric,
+)
+from lemon_tpu.scoring.thresholds import (
+    f1_with_local_minima_finder,
+    f1_with_pred_prev_constraint,
+    optimize_f1,
+    optimize_f1_efficient,
+    optimize_f1_exact,
+)
+
+
+def make_logs(n=200, k=5, seed=0, signal=True):
+    rng = np.random.default_rng(seed)
+    is_mis = rng.random(n) < 0.4
+    bump = is_mis.astype(np.float64)
+
+    def noisy(scale=1.0, shape=None):
+        return rng.random(shape or (n, k)) * scale
+
+    return NeighborLogs(
+        d_1=0.5 * rng.random(n) + (0.3 * bump if signal else 0),
+        dists_n=noisy() + (0.3 * bump[:, None] if signal else 0),
+        D_n=noisy(),
+        dists_tr_n=noisy(),
+        dists_m=noisy() + (0.2 * bump[:, None] if signal else 0),
+        D_m=noisy(),
+        dists_tr_m=noisy(),
+        is_mislabel=is_mis.astype(np.int64),
+        sset=np.array(["val"] * n),
+    )
+
+
+def manual_score(logs, h):
+    """Independent row-by-row transcription of the paper formula."""
+    out = np.zeros(len(logs))
+    for i in range(len(logs)):
+        wn = np.exp(-h["tau_1_n"] * logs.D_n[i]) * np.exp(-h["tau_2_n"] * logs.dists_tr_n[i])
+        wm = np.exp(-h["tau_1_m"] * logs.D_m[i]) * np.exp(-h["tau_2_m"] * logs.dists_tr_m[i])
+        d_n = float(wn @ logs.dists_n[i]) / logs.k
+        d_m = float(wm @ logs.dists_m[i]) / logs.k
+        out[i] = logs.d_1[i] + h["beta"] * d_n + h["gamma"] * d_m
+    return out
+
+
+def test_pack_unpack_and_ablation_masks():
+    h = unpack_hparams([1, 2, 3, 4, 5, 6])
+    assert h == {"beta": 1, "gamma": 2, "tau_1_n": 3, "tau_2_n": 4, "tau_1_m": 5, "tau_2_m": 6}
+    np.testing.assert_array_equal(pack_hparams(h), [1, 2, 3, 4, 5, 6])
+
+    h = unpack_hparams([1, 2, 3, 4, 5, 6], force_zero=["beta"], force_one=["gamma"])
+    assert h["beta"] == 0.0 and h["gamma"] == 1.0
+
+
+def test_calc_scores_matches_manual():
+    logs = make_logs()
+    h = unpack_hparams([5, 7, 0.1, 5, 0.3, 2])
+    np.testing.assert_allclose(calc_scores(logs, h), manual_score(logs, h), rtol=1e-12)
+
+    s, dn, dm = calc_scores(logs, h, return_components=True)
+    np.testing.assert_allclose(s, logs.d_1 + 5 * dn + 7 * dm, rtol=1e-12)
+
+
+def test_device_grid_matches_numpy():
+    logs = make_logs(n=64, k=3)
+    grid = np.array([[0, 0, 0, 0, 0, 0], [5, 7, 0.1, 5, 0.3, 2], [100, 0, 10, 10, 10, 10]], np.float64)
+    dev = calc_scores_grid(logs, grid)
+    for g, row in enumerate(grid):
+        np.testing.assert_allclose(dev[g], manual_score(logs, unpack_hparams(row)), rtol=2e-4, atol=2e-5)
+
+
+def test_grid_to_matrix_shared_taus():
+    gm = grid_to_matrix({"beta": [1], "gamma": [2], "tau_1": [3, 4], "tau_2": [5]})
+    assert gm.shape == (2, 6)
+    np.testing.assert_array_equal(gm[0], [1, 2, 3, 5, 3, 5])
+    np.testing.assert_array_equal(gm[1], [1, 2, 4, 5, 4, 5])
+    assert grid_to_matrix(default_grid()).shape == (21 * 21 * 4 * 4, 6)
+
+
+def test_optimize_f1_exact_is_optimal():
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        y = (rng.random(100) < 0.4).astype(int)
+        score = rng.random(100) + 0.3 * y
+        f1_exact, t = optimize_f1_exact(y, score, True)
+        assert f1_exact == pytest.approx(f1_score(y, score >= t))
+        # exact >= both reference scans
+        assert f1_exact >= optimize_f1(y, score) - 1e-12
+        assert f1_exact >= optimize_f1_efficient(y, score) - 1e-12
+        # brute force over every observed threshold
+        brute = max(f1_score(y, score >= s) for s in score)
+        assert f1_exact == pytest.approx(brute)
+
+
+def test_best_f1_rows_device_matches_exact():
+    rng = np.random.default_rng(4)
+    y = (rng.random(200) < 0.3).astype(int)
+    scores = rng.random((7, 200)) + 0.2 * y[None]
+    dev = np.asarray(_best_f1_rows(jnp.asarray(scores, jnp.float32), jnp.asarray(y, jnp.float32)))
+    for g in range(7):
+        assert dev[g] == pytest.approx(optimize_f1_exact(y, scores[g]), abs=1e-5)
+
+
+def test_prevalence_threshold():
+    rng = np.random.default_rng(5)
+    y = (rng.random(500) < 0.4).astype(int)
+    score = rng.random(500) + y
+    f1, t = f1_with_pred_prev_constraint(y, score, 0.4, True)
+    assert abs((score >= t).mean() - 0.4) < 0.01
+    assert 0 < f1 <= 1
+
+
+def test_local_minima_threshold_bimodal():
+    rng = np.random.default_rng(6)
+    score = np.concatenate([rng.normal(0, 0.3, 300), rng.normal(3, 0.3, 200)])
+    y = (np.arange(500) >= 300).astype(int)
+    f1, t = f1_with_local_minima_finder(y, score, True)
+    assert 0.8 < t < 2.2  # threshold lands in the density valley
+    assert f1 > 0.95
+
+
+def test_binary_metrics_fields():
+    y = np.array([0, 0, 1, 1, 1])
+    p = np.array([0, 1, 1, 1, 0])
+    m = binary_metrics(y, p, suffix="_x")
+    assert m["TP_x"] == 2 and m["FP_x"] == 1 and m["FN_x"] == 1 and m["TN_x"] == 1
+    assert m["TPR_x"] == pytest.approx(2 / 3)
+    assert m["PPV_x"] == pytest.approx(2 / 3)
+    assert m["prevalence_x"] == pytest.approx(3 / 5)
+    assert m["F1_x"] == pytest.approx(f1_score(y, p))
+
+
+def test_prob_metrics_and_eval_metrics():
+    rng = np.random.default_rng(7)
+    y = (rng.random(300) < 0.4).astype(int)
+    score = rng.random(300) + 0.8 * y
+    pm = prob_metrics(y, score)
+    assert pm["AUROC"] == pytest.approx(roc_auc_score(y, score))
+    em = eval_metrics(y, score, prevalence=0.4)
+    for key in ("AUROC", "AUPRC", "F1_optimal_thres", "F1_prev_thres", "F1_heuristic_thres", "F1_optimal", "F1_prev", "F1_heuristic"):
+        assert key in em
+    # fixed thresholds are honored
+    em2 = eval_metrics(y, score, prevalence=0.4, fix_thress={"F1_optimal_thres": em["F1_optimal_thres"]})
+    assert em2["F1_optimal"] == em["F1_optimal"]
+
+
+def test_auroc_device_matches_sklearn():
+    rng = np.random.default_rng(8)
+    y = (rng.random(400) < 0.35).astype(int)
+    score = np.round(rng.random(400) + 0.5 * y, 2)  # ties included
+    ours = float(auroc_device(jnp.asarray(y), jnp.asarray(score, jnp.float32)))
+    assert ours == pytest.approx(roc_auc_score(y, score), abs=1e-5)
+
+
+def test_ece_calibrated_vs_not():
+    rng = np.random.default_rng(9)
+    conf = rng.random(5000)
+    correct = (rng.random(5000) < conf).astype(float)  # well calibrated
+    assert expected_calibration_error(conf, correct) < 0.03
+    assert expected_calibration_error(conf, 1 - correct) > 0.3
+
+
+def test_maximize_metric_improves_and_respects_masks():
+    logs = make_logs(n=150, k=4, seed=11)
+    y = logs.is_mislabel
+
+    base_f1 = optimize_f1_efficient(y, calc_scores(logs, unpack_hparams([0] * 6)))
+    small_grid = {"beta": [0, 5, 20], "gamma": [0, 5, 20], "tau_1": [0, 5], "tau_2": [0, 5]}
+    best_x, best_val, thres = maximize_metric(logs, grid=small_grid, x0s=[[0] * 6, [1] * 6])
+    assert best_val >= base_f1 - 1e-9
+    assert np.isfinite(thres)
+
+    best_x, _, _ = maximize_metric(
+        logs, grid=small_grid, x0s=[[1] * 6], force_zero=["beta"], force_one=["gamma"]
+    )
+    assert best_x[0] == 0.0 and best_x[1] == 1.0
