@@ -1,0 +1,83 @@
+"""Unified baseline CLI.
+
+The reference ships one script per baseline (lib/baselines/run_clip_sim.py,
+train_zero_shot_clip_baseline.py, discrepancy_baseline.py, run_deepknn.py,
+training_dependent_baselines.py); here they share one entry point:
+
+    python -m lemon_tpu.cli.run_baseline --baseline discrepancy \
+        --method dis_x --dataset mscoco --noise_type cat --output_dir out/d
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+import numpy as np
+
+BASELINES = ("clip_sim", "zero_shot", "discrepancy", "deepknn", "aum", "datamap")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from lemon_tpu.cli.run_lemon import build_parser as lemon_parser
+
+    p = lemon_parser()
+    p.description = "lemon_tpu baselines"
+    p.add_argument("--baseline", required=True, choices=BASELINES)
+    p.add_argument("--method", default="", help="discrepancy: dis_y|dis_x|div_y|div_x")
+    p.add_argument("--temperature", type=float, default=1.0, help="zero-shot softmax temperature")
+    p.add_argument("--epochs", type=int, default=10, help="aum/datamap training epochs")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from lemon_tpu.baselines.common import BaselineConfig
+    from lemon_tpu.core.io import dump_args, env_banner, mark_done, redirect_output
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not args.debug:
+        redirect_output(out_dir)
+    print(env_banner())
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    dump_args(out_dir, vars(args))
+
+    cfg = BaselineConfig(
+        dataset=args.dataset, noise_type=args.noise_type, noise_level=args.noise_level,
+        dist_type=args.dist_type, clip_model=args.clip_model, knn_k=args.knn_k,
+        batch_size=args.batch_size, seed=args.seed, data_seed=args.data_seed,
+        debug=args.debug, skip_train=args.skip_train, synthetic_n=args.synthetic_n,
+        knn_tile=args.knn_tile, checkpoint=args.checkpoint,
+        method=args.method, temperature=args.temperature,
+    )
+
+    if args.baseline == "clip_sim":
+        from lemon_tpu.baselines.clip_sim import run_clip_sim as runner
+    elif args.baseline == "zero_shot":
+        from lemon_tpu.baselines.zero_shot import run_zero_shot_logits as runner
+    elif args.baseline == "discrepancy":
+        from lemon_tpu.baselines.discrepancy import run_discrepancy as runner
+    elif args.baseline == "deepknn":
+        from lemon_tpu.baselines.deepknn import run_deepknn as runner
+    else:
+        from lemon_tpu.baselines.training_dependent import run_training_dependent
+
+        cfg.method = args.baseline  # 'aum' | 'datamap'
+        run_training_dependent(cfg, out_dir, epochs=args.epochs)
+        mark_done(out_dir)
+        return
+
+    runner(cfg, out_dir)
+    mark_done(out_dir)
+
+
+if __name__ == "__main__":
+    main()

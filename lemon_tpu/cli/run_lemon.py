@@ -1,0 +1,131 @@
+"""LEMoN detection CLI — flag-compatible with the reference's run_lemon.py
+(:34-58) plus TPU-framework extensions (--platform, --mesh, --knn_tile,
+--embedding_cache, --checkpoint).
+
+Example:
+    python -m lemon_tpu.cli.run_lemon --output_dir out/exp1 \
+        --dataset cifar10 --noise_type symmetric --noise_level 0.4
+
+Outputs (contract preserved so agg tooling ports unchanged): args.json,
+out.txt/err.txt, res.pkl, {criteria}_scores.csv, done.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LEMoN (TPU-native)")
+    p.add_argument("--exp_name", type=str)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument(
+        "--dataset",
+        type=str,
+        default="cifar100",
+        choices=[
+            "cifar10", "cifar100", "flickr30k", "mscoco", "mimiccxr_caption", "mmimdb",
+            "cifar10_full", "cifar100_full", "mini_imagenet", "stanford_cars", "cc3m",
+            "synthetic", "synthetic_caption",
+        ],
+    )
+    p.add_argument("--noise_type", type=str, default="real",
+                   choices=["real", "asymmetric", "symmetric", "random", "noun", "cat"])
+    p.add_argument("--noise_level", type=float, default=0.4)
+    p.add_argument("--dist_type", type=str, default="cosine", choices=["cosine", "euclidean"])
+    p.add_argument("--normalize_d1", action="store_true")
+    p.add_argument("--clip_model", type=str, default="huggingface_clip",
+                   choices=["huggingface_clip", "biomed_clip", "mimic_clip_from_scratch_random",
+                            "mimic_clip_from_scratch_cat", "chexzero", "cc3m_clip_from_scratch", "tiny"])
+    p.add_argument("--knn_k", default=5, type=int)
+    p.add_argument("--batch_size", default=128, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--data_seed", default=0, type=int)
+    p.add_argument("--compr_dataset_size_limit", default=50000, type=int)
+    p.add_argument("--ablation", default="none",
+                   choices=["none", "tau_1", "tau_2", "tau_1_2", "beta", "gamma",
+                            "multimodal_baseline", "d1", "only_gamma", "only_beta"])
+    p.add_argument("--use_discrete_for_text", action="store_true")
+    p.add_argument("--real_dataset", action="store_true")
+    p.add_argument("--custom_cifar_prompt", default=None)
+    p.add_argument("--subset_val_set", default=-1, type=int)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--skip_hparam_optim", action="store_true")
+    # framework extensions
+    p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--mesh", default=None, help="mesh shape as DATAxMODEL, e.g. 8x1")
+    p.add_argument("--knn_tile", default=4096, type=int)
+    p.add_argument("--embedding_cache", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--synthetic_n", default=600, type=int)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from lemon_tpu.core.io import dump_args, env_banner, mark_done, redirect_output
+    from lemon_tpu.detect import DetectionConfig, run_detection
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not args.debug:
+        redirect_output(out_dir)
+
+    print(env_banner())
+    print("Args:")
+    for key, val in sorted(vars(args).items()):
+        print(f"\t{key}: {val}")
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    dump_args(out_dir, vars(args))
+
+    mesh_shape = None
+    if args.mesh:
+        d, m = args.mesh.lower().split("x")
+        mesh_shape = (int(d), int(m))
+
+    cfg = DetectionConfig(
+        dataset=args.dataset,
+        noise_type=args.noise_type,
+        noise_level=args.noise_level,
+        dist_type=args.dist_type,
+        normalize_d1=args.normalize_d1,
+        clip_model=args.clip_model,
+        knn_k=args.knn_k,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        data_seed=args.data_seed,
+        compr_dataset_size_limit=args.compr_dataset_size_limit,
+        ablation=args.ablation,
+        use_discrete_for_text=args.use_discrete_for_text,
+        real_dataset=args.real_dataset,
+        custom_cifar_prompt=args.custom_cifar_prompt,
+        subset_val_set=args.subset_val_set,
+        debug=args.debug,
+        skip_train=args.skip_train,
+        skip_hparam_optim=args.skip_hparam_optim,
+        synthetic_n=args.synthetic_n,
+        knn_tile=args.knn_tile,
+        mesh_shape=mesh_shape,
+        embedding_cache=args.embedding_cache,
+        checkpoint=args.checkpoint,
+    )
+    run_detection(cfg, out_dir)
+    mark_done(out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,413 @@
+"""End-to-end LEMoN mislabel detection.
+
+The library core behind ``lemon_tpu.cli.run_lemon`` — the reference's
+run_lemon.py pipeline re-architected for TPU:
+
+- **Embed phase**: one jitted program per batch fusing device preprocessing,
+  both CLIP towers and L2 normalization (vs. CPU-worker transforms + torch
+  forward + per-batch host round-trips, run_lemon.py:136-164).
+- **Neighbor phase**: ExactKnnIndex (tiled matmul + on-device top-k; mesh-
+  sharded for large comparison sets) replaces CPU FAISS
+  (run_lemon.py:166-177).
+- **Component extraction**: the reference's per-sample Python loop
+  (run_lemon.py:238-307 — its slowest part) becomes one jitted
+  gather+einsum per split producing all (N, k) component matrices.
+- Same hyperparameter optimization, ablations, outputs (res.pkl with
+  {'df', 'agg_results'}, {criteria}_scores.csv, done marker).
+
+Semantics parity notes:
+- cosine: neighbor scores negated (D = -similarity) before use
+  (run_lemon.py:270,286); euclidean: squared L2 kept as-is.
+- train split searches k+1 and drops self per membership in the comparison
+  subset (run_lemon.py:257-263).
+- comparison subsample of 50k drawn from RandomState(seed) matching the
+  reference's global np.random stream (run_lemon.py:122-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemon_tpu.data.datasets import CLF_DATASETS, get_dataset
+from lemon_tpu.data.labels import LABEL_SETS
+from lemon_tpu.knn import ExactKnnIndex, train_split_exclusion
+from lemon_tpu.models.encoder import ClipEncoder
+from lemon_tpu.models.registry import create_encoder
+from lemon_tpu.scoring import (
+    NeighborLogs,
+    calc_scores,
+    eval_metrics,
+    maximize_metric,
+    unpack_hparams,
+)
+from lemon_tpu.scoring.optimize import default_grid
+from lemon_tpu.scoring.thresholds import optimize_f1_efficient
+
+
+@dataclasses.dataclass
+class DetectionConfig:
+    """run_lemon CLI surface (run_lemon.py:34-58), as a typed config."""
+
+    dataset: str = "cifar100"
+    noise_type: str = "real"
+    noise_level: float = 0.4
+    dist_type: str = "cosine"  # 'cosine' | 'euclidean'
+    normalize_d1: bool = False
+    clip_model: str = "huggingface_clip"
+    knn_k: int = 5
+    batch_size: int = 128
+    seed: int = 0
+    data_seed: int = 0
+    compr_dataset_size_limit: int = 50000
+    ablation: str = "none"
+    use_discrete_for_text: bool = False
+    real_dataset: bool = False
+    custom_cifar_prompt: Optional[str] = None
+    subset_val_set: int = -1
+    debug: bool = False
+    skip_train: bool = False
+    skip_hparam_optim: bool = False
+    # framework extensions (no reference counterpart)
+    synthetic_n: int = 600
+    knn_tile: int = 4096
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device
+    embedding_cache: Optional[str] = None
+    checkpoint: Optional[str] = None
+    grid: Optional[Dict] = None
+
+
+def prompt_fn(cfg: DetectionConfig):
+    prefix = "A photo of a " if cfg.custom_cifar_prompt is None else cfg.custom_cifar_prompt
+    return lambda label: prefix + label
+
+
+def _is_clf(cfg: DetectionConfig) -> bool:
+    return cfg.dataset in CLF_DATASETS or (
+        cfg.dataset.startswith("synthetic") and "caption" not in cfg.dataset
+    )
+
+
+def _labels_for(cfg: DetectionConfig):
+    if cfg.dataset in LABEL_SETS:
+        return LABEL_SETS[cfg.dataset]
+    if _is_clf(cfg):
+        # synthetic classification: reuse cifar10 names cyclically
+        return LABEL_SETS["cifar10"]
+    return None
+
+
+def _texts_for_split(cfg: DetectionConfig, split, label_set) -> Tuple[List[str], List[str], np.ndarray, np.ndarray]:
+    """(noisy prompt texts, clean texts, noisy labels, actual labels)."""
+    p = prompt_fn(cfg)
+    if _is_clf(cfg):
+        noisy = split.y_noisy
+        clean = split.y_clean
+        noisy_texts = [p(label_set[int(i) % len(label_set)]) for i in noisy]
+        clean_texts = [label_set[int(i) % len(label_set)] for i in clean]
+        return noisy_texts, clean_texts, noisy, clean
+    return list(split.sentence), list(split.gold_sentence), split.sentence, split.gold_sentence
+
+
+@jax.jit
+def _components_cosine(img, txt, txt_nb, img_nb, dtr_n, dtr_m):
+    """All per-example score components in one fused program.
+
+    img/txt: (B, D) query embeddings; txt_nb/img_nb: (B, k, D) gathered
+    neighbor embeddings; dtr_*: (B, k) neighbor pair-distances.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    d1 = 1.0 - jnp.sum(img * txt, axis=1)
+    dists_n = 1.0 - jnp.einsum("bd,bkd->bk", txt, txt_nb, precision=hp)
+    dists_m = 1.0 - jnp.einsum("bd,bkd->bk", img, img_nb, precision=hp)
+    return d1, dists_n, dists_m, dtr_n, dtr_m
+
+
+@jax.jit
+def _components_euclidean(img, txt, txt_nb, img_nb, dtr_n, dtr_m):
+    d1 = jnp.sum((img - txt) ** 2, axis=1)
+    dists_n = jnp.sum((txt[:, None, :] - txt_nb) ** 2, axis=2)
+    dists_m = jnp.sum((img[:, None, :] - img_nb) ** 2, axis=2)
+    return d1, dists_n, dists_m, dtr_n, dtr_m
+
+
+def _d1_normalized(cfg: DetectionConfig, img: np.ndarray, label_embs: np.ndarray, noisy_labels: np.ndarray) -> np.ndarray:
+    """--normalize_d1: softmax over per-class distances, take the noisy
+    class's mass (run_lemon.py:244-248)."""
+    from scipy.special import softmax
+
+    if cfg.dist_type == "cosine":
+        dists = 1.0 - img @ label_embs.T
+    else:
+        dists = ((img[:, None, :] - label_embs[None]) ** 2).sum(-1)
+    probs = softmax(dists, axis=1)
+    return probs[np.arange(len(img)), np.asarray(noisy_labels, np.int64)]
+
+
+def build_neighbor_logs(
+    cfg: DetectionConfig,
+    encoder: ClipEncoder,
+    splits: Dict[str, object],
+    label_set,
+    mesh=None,
+) -> Tuple[NeighborLogs, Dict]:
+    """Embed everything, build indexes, extract all score components."""
+    k = cfg.knn_k
+    train = splits["train"]
+
+    # Comparison subset (<= compr_dataset_size_limit; run_lemon.py:122-127).
+    n_train = len(train)
+    if n_train > cfg.compr_dataset_size_limit:
+        compr_ids = np.random.RandomState(cfg.seed).choice(
+            np.arange(n_train), cfg.compr_dataset_size_limit, replace=False
+        )
+        compr = train.subset(compr_ids)
+    else:
+        compr_ids = np.arange(n_train)
+        compr = train
+    in_compr = np.zeros(n_train, bool)
+    in_compr[compr_ids] = True
+
+    compr_texts, _, _, _ = _texts_for_split(cfg, compr, label_set)
+    t0 = time.time()
+    img_tr, txt_tr = encoder.embed_split(
+        compr,
+        compr_texts,
+        cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/compr",
+        cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
+    )
+    embed_time = time.time() - t0
+
+    metric = "ip" if cfg.dist_type == "cosine" else "l2"
+    index_img = ExactKnnIndex(metric=metric, tile=cfg.knn_tile, mesh=mesh)
+    index_txt = ExactKnnIndex(metric=metric, tile=cfg.knn_tile, mesh=mesh)
+    index_img.add(img_tr)
+    index_txt.add(txt_tr)
+    if cfg.dist_type == "cosine":
+        dists_tr = 1.0 - np.sum(txt_tr * img_tr, axis=1)
+    else:
+        dists_tr = np.sum((txt_tr - img_tr) ** 2, axis=1)
+    compr_text_arr = np.asarray(compr_texts)
+
+    # Dataset-label embeddings for --normalize_d1 (run_lemon.py:180-190).
+    label_embs = None
+    if _is_clf(cfg) and cfg.normalize_d1:
+        p = prompt_fn(cfg)
+        label_embs = encoder.encode_texts([p(l) for l in label_set])
+
+    # Which splits to score (run_lemon.py:193-196).
+    if cfg.debug or cfg.skip_train:
+        names = ["val", "test"]
+    else:
+        names = ["train", "val", "test"]
+
+    rows: List[NeighborLogs] = []
+    timing = {"embed_compr_s": embed_time, "knn_s": 0.0, "component_s": 0.0}
+    for sname in names:
+        split = splits[sname]
+        noisy_texts, clean_texts, noisy_labels, actual_labels = _texts_for_split(cfg, split, label_set)
+        if sname == "train" and n_train <= cfg.compr_dataset_size_limit:
+            img, txt = img_tr, txt_tr  # same transform -> identical embeddings
+        else:
+            img, txt = encoder.embed_split(
+                split,
+                noisy_texts,
+                cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/{sname}",
+                cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
+            )
+
+        extra = 1 if sname == "train" else 0
+        t0 = time.time()
+        D_n, I_n = index_img.search(img, k + extra)
+        D_m, I_m = index_txt.search(txt, k + extra)
+        timing["knn_s"] += time.time() - t0
+        if sname == "train":
+            D_n, I_n = train_split_exclusion(D_n, I_n, None, in_compr)
+            D_m, I_m = train_split_exclusion(D_m, I_m, None, in_compr)
+
+        t0 = time.time()
+        fn = _components_cosine if cfg.dist_type == "cosine" else _components_euclidean
+        d1, dists_n, dists_m, dtr_n, dtr_m = [
+            np.asarray(a)
+            for a in fn(
+                jnp.asarray(img), jnp.asarray(txt),
+                jnp.asarray(txt_tr)[jnp.asarray(I_n)], jnp.asarray(img_tr)[jnp.asarray(I_m)],
+                jnp.asarray(dists_tr)[jnp.asarray(I_n)], jnp.asarray(dists_tr)[jnp.asarray(I_m)],
+            )
+        ]
+        timing["component_s"] += time.time() - t0
+
+        if cfg.use_discrete_for_text:
+            dists_n = 1.0 - (compr_text_arr[I_n] == np.asarray(noisy_texts)[:, None]).astype(np.float64)
+        if label_embs is not None:
+            d1 = _d1_normalized(cfg, img, label_embs, noisy_labels)
+
+        # cosine: FAISS-style similarities are negated into distances
+        # (run_lemon.py:270,286); euclidean keeps squared distances.
+        D_n_signed = -D_n if cfg.dist_type == "cosine" else D_n
+        D_m_signed = -D_m if cfg.dist_type == "cosine" else D_m
+
+        is_mis = (np.asarray(noisy_texts if not _is_clf(cfg) else noisy_labels) != np.asarray(clean_texts if not _is_clf(cfg) else actual_labels)).astype(np.int64)
+        rows.append(
+            NeighborLogs(
+                d_1=d1,
+                dists_n=dists_n,
+                D_n=D_n_signed,
+                dists_tr_n=dtr_n,
+                dists_m=dists_m,
+                D_m=D_m_signed,
+                dists_tr_m=dtr_m,
+                is_mislabel=is_mis,
+                sset=np.full(len(split), sname, object),
+                idx=np.arange(len(split)),
+                noisy_label=np.asarray(noisy_labels),
+                actual_label=np.asarray(actual_labels),
+            )
+        )
+
+    merged = NeighborLogs(
+        **{
+            f.name: (
+                np.concatenate([getattr(r, f.name) for r in rows])
+                if getattr(rows[0], f.name) is not None
+                else None
+            )
+            for f in dataclasses.fields(NeighborLogs)
+        }
+    )
+    return merged, timing
+
+
+ABLATION_FORCE = {
+    "none": ((), ()),
+    "d1": ((), ("beta",)),
+    "tau_1": (("tau_1_n", "tau_1_m"), ()),
+    "tau_2": (("tau_2_n", "tau_2_m"), ()),
+    "tau_1_2": (("tau_1_n", "tau_1_m", "tau_2_n", "tau_2_m"), ()),
+    "beta": (("beta",), ()),
+    "gamma": (("gamma",), ()),
+    "d1_beta": (("beta",), ("gamma",)),
+    "d1_gamma": (("gamma",), ("beta",)),
+}
+
+FIXED_ABLATIONS = {
+    "only_beta": {"beta": 1, "gamma": 0, "tau_1_n": 0, "tau_2_n": 0, "tau_1_m": 0, "tau_2_m": 0},
+    "only_gamma": {"beta": 0, "gamma": 1, "tau_1_n": 0, "tau_2_n": 0, "tau_1_m": 0, "tau_2_m": 0},
+}
+
+
+def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs) -> Tuple[Dict, "object"]:
+    """Hyperparameter selection + per-split evaluation
+    (run_lemon.py:319-427). Returns (agg_results, dataframe)."""
+    df = logs.to_dataframe()
+
+    if "d1" in cfg.ablation:
+        logs = dataclasses.replace(logs, d_1=np.zeros_like(logs.d_1))
+        df["d_1"] = 0.0
+
+    if cfg.real_dataset or cfg.skip_hparam_optim:
+        return {}, df
+
+    logs_val = logs.split("val")
+    criteria = "know_val_labels"
+    results: Dict[str, Dict] = {}
+
+    if cfg.ablation in FIXED_ABLATIONS:
+        results[criteria] = dict(FIXED_ABLATIONS[cfg.ablation])
+    elif cfg.ablation == "multimodal_baseline":
+        best_f1, best_thres = optimize_f1_efficient(logs_val.is_mislabel, logs_val.d_1, return_thres=True)
+        results[criteria] = {
+            "beta": 0, "gamma": 0, "tau_1_n": 0, "tau_2_n": 0, "tau_1_m": 0, "tau_2_m": 0,
+            "thres": best_thres, "selected_val": best_f1,
+        }
+    else:
+        force_zero, force_one = ABLATION_FORCE[cfg.ablation]
+        best_x, best_f1, best_thres = maximize_metric(
+            logs_val,
+            grid=cfg.grid if cfg.grid is not None else default_grid(),
+            obj_func=optimize_f1_efficient,
+            force_zero=force_zero,
+            force_one=force_one,
+        )
+        hp = unpack_hparams(best_x, force_zero, force_one)
+        results[criteria] = {**hp, "thres": best_thres, "selected_val": best_f1}
+
+    hp = {name: results[criteria].get(name, 0) for name in ("beta", "gamma", "tau_1_n", "tau_2_n", "tau_1_m", "tau_2_m")}
+    scores, d_n, d_m = calc_scores(logs, hp, return_components=True)
+    df[f"{criteria}_pred_score"] = scores
+    df[f"{criteria}_d_n"] = d_n
+    df[f"{criteria}_d_m"] = d_m
+
+    val_mask = logs.sset == "val"
+    prevalence = logs.is_mislabel[val_mask].sum() / val_mask.sum()
+    thress = eval_metrics(logs.is_mislabel[val_mask], scores[val_mask], prevalence=prevalence)
+    fix = {k: thress[k] for k in ("F1_optimal_thres", "F1_prev_thres", "F1_heuristic_thres")}
+    for sname in np.unique(logs.sset):
+        mask = logs.sset == sname
+        results[criteria][sname] = eval_metrics(
+            logs.is_mislabel[mask], scores[mask], prevalence=prevalence, fix_thress=fix
+        )
+    return results, df
+
+
+def run_detection(cfg: DetectionConfig, out_dir: Optional[Path] = None) -> Dict:
+    """Full pipeline; writes the reference output contract when ``out_dir``
+    is given (res.pkl / {criteria}_scores.csv / done)."""
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from lemon_tpu.core.mesh import get_mesh
+
+        mesh = get_mesh(*cfg.mesh_shape)
+
+    if cfg.real_dataset:
+        assert cfg.noise_level == 0.0
+
+    splits = dict(
+        zip(("train", "val", "test"), get_dataset(
+            cfg.dataset, cfg.data_seed, noise_level=cfg.noise_level, noise_type=cfg.noise_type,
+            synthetic_n=cfg.synthetic_n,
+        ))
+    )
+    if cfg.subset_val_set > 0:
+        rng = np.random.default_rng(cfg.data_seed)
+        pick = rng.choice(
+            np.arange(len(splits["val"])), min(cfg.subset_val_set, len(splits["val"])), replace=False
+        )
+        splits["val"] = splits["val"].subset(pick)
+
+    label_set = _labels_for(cfg)
+    encoder = create_encoder(
+        cfg.clip_model if not cfg.dataset.startswith("synthetic") else "tiny",
+        seed=cfg.seed,
+        batch_size=cfg.batch_size,
+        mesh=mesh,
+        checkpoint=cfg.checkpoint,
+    )
+
+    t0 = time.time()
+    logs, timing = build_neighbor_logs(cfg, encoder, splits, label_set, mesh=mesh)
+    agg, df = select_and_evaluate(cfg, logs)
+    total = time.time() - t0
+    n = len(logs)
+    print(f"Finished {n} samples in {total:.2f} seconds; avg of {total / n:.5f}s per sample")
+    print(f"Phase timing: {timing}")
+
+    res = {"df": df} if not agg else {"df": df, "agg_results": agg}
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / "res.pkl", "wb") as f:
+            pickle.dump(res, f)
+        for criteria in agg:
+            cols = df[["sset", "idx", "actual_label", "noisy_label", "is_mislabel", f"{criteria}_pred_score"]]
+            cols.rename(columns={f"{criteria}_pred_score": "pred_score"}).to_csv(out_dir / f"{criteria}_scores.csv")
+        if cfg.skip_hparam_optim:
+            (out_dir / "need_hparam_optim").write_text("need_hparam_optim")
+    return res

@@ -1,0 +1,116 @@
+"""Model factory mirroring the reference's registry names
+(lib/models/utils.py:64-105 / run_lemon.py:43):
+
+- 'huggingface_clip'            ViT-B/32, weights from an HF CLIPModel
+                                checkpoint when available
+- 'chexzero'                    ViT-B/32, OpenAI-format fine-tuned state dict
+- 'mimic_clip_from_scratch_*'   ViT-B/16 embed 768, context 256
+- 'cc3m_clip_from_scratch'      ViT-B/16 embed 768, context 77
+- 'biomed_clip'                 BiomedCLIP (PubMedBERT text tower) — not yet
+                                ported; raises with guidance
+- 'tiny'                        test-scale config (framework-only)
+
+Checkpoint resolution: ``LEMON_TPU_CKPT_<NAME>`` env var, then
+``<data_root>/checkpoints/<name>.{pt,npz}``; without a checkpoint the model
+initializes randomly (flagged loudly — fine for benchmarks and synthetic
+tests, wrong for real-dataset parity).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+from lemon_tpu.core.precision import Precision, default_precision
+from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params
+from lemon_tpu.models.encoder import ClipEncoder
+from lemon_tpu.models.loader import detect_and_convert, load_torch_file
+
+MODEL_CONFIGS = {
+    "huggingface_clip": ClipConfig.vit_b32(),
+    "chexzero": ClipConfig.vit_b32(),
+    "mimic_clip_from_scratch_random": ClipConfig.from_scratch_mimic(),
+    "mimic_clip_from_scratch_cat": ClipConfig.from_scratch_mimic(),
+    "cc3m_clip_from_scratch": ClipConfig.vit_b16(embed_dim=768, context_length=77),
+    "tiny": ClipConfig.tiny(),
+}
+
+
+def _checkpoint_path(name: str) -> Optional[Path]:
+    env = os.environ.get(f"LEMON_TPU_CKPT_{name.upper()}")
+    if env:
+        return Path(env)
+    from lemon_tpu.data.datasets import data_root
+
+    for suffix in (".npz", ".pt", ".bin", ".safetensors"):
+        cand = data_root() / "checkpoints" / f"{name}{suffix}"
+        if cand.exists():
+            return cand
+    return None
+
+
+def _load_params(path: Path, cfg: ClipConfig):
+    if path.suffix == ".npz":
+        import numpy as np
+
+        import jax
+
+        blob = np.load(path)
+        flat = {k: blob[k] for k in blob.files}
+        return jax.tree_util.tree_map(lambda x: x, _unflatten(flat)), cfg
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        sd = load_torch_file(path)
+    sd = {k: v for k, v in sd.items() if "position_ids" not in k}
+    return detect_and_convert(sd)
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
+
+
+def create_encoder(
+    name: str,
+    seed: int = 0,
+    batch_size: int = 128,
+    mesh=None,
+    precision: Optional[Precision] = None,
+    checkpoint: Optional[str] = None,
+) -> ClipEncoder:
+    """Build a frozen encoder for a registry name (the analog of
+    algorithm_class_from_scratch + .eval(), run_lemon.py:112-115)."""
+    if name == "biomed_clip":
+        raise NotImplementedError(
+            "biomed_clip (PubMedBERT text tower) is not ported yet; use "
+            "'huggingface_clip' or a from-scratch CLIP variant."
+        )
+    if name not in MODEL_CONFIGS:
+        raise KeyError(f"unknown clip_model '{name}'; options: {sorted(MODEL_CONFIGS)}")
+
+    cfg = MODEL_CONFIGS[name]
+    precision = precision or default_precision()
+
+    ckpt = Path(checkpoint) if checkpoint else _checkpoint_path(name)
+    if ckpt is not None:
+        params, loaded_cfg = _load_params(ckpt, cfg)
+        cfg = loaded_cfg or cfg
+        model = ClipModel(cfg, precision=precision)
+        print(f"[lemon_tpu] loaded {name} weights from {ckpt}")
+    else:
+        model, params = init_params(cfg, seed=seed, precision=precision)
+        print(
+            f"[lemon_tpu] WARNING: no checkpoint for '{name}' "
+            f"(set LEMON_TPU_CKPT_{name.upper()}); using random init"
+        )
+    return ClipEncoder(model, params, batch_size=batch_size, mesh=mesh)

@@ -1,0 +1,172 @@
+"""Contrastive CLIP training (from scratch or fine-tune).
+
+TPU-native counterpart of train_clip_from_scratch.py:
+
+- Symmetric InfoNCE: mean of image->text and text->image cross-entropy
+  against the batch diagonal (train_clip_from_scratch.py:161-167).
+- **Global-batch semantics under data parallelism**: the batch is sharded
+  over the mesh's data axis and the whole step is one pjit program — the
+  (B, B) similarity matmul forces XLA to all-gather the other chips'
+  features over ICI, so the loss is exactly the single-device global-batch
+  loss (SURVEY.md §2c: 'the one place a collective changes semantics').
+  No hand-written collectives; GSPMD inserts them.
+- AdamW or SGD + cosine schedule with linear warmup
+  (train_clip_from_scratch.py:133-140), orbax async checkpointing replacing
+  ad-hoc ``checkpoint_{step}.pt`` files (:182-187).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from lemon_tpu.core.mesh import DATA_AXIS
+from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.05
+    optimizer: str = "adamw"  # 'adamw' | 'sgd'
+    momentum: float = 0.9
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    batch_size: int = 256
+    save_interval: int = 5000
+    seed: int = 0
+
+
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = make_schedule(cfg)
+    if cfg.optimizer == "adamw":
+        return optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    if cfg.optimizer == "sgd":
+        return optax.sgd(schedule, momentum=cfg.momentum)
+    raise ValueError(cfg.optimizer)
+
+
+def clip_loss(logits_per_image: jnp.ndarray, logits_per_text: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric InfoNCE against the diagonal
+    (train_clip_from_scratch.py:161-167)."""
+    n = logits_per_image.shape[0]
+    labels = jnp.arange(n)
+    li = optax.softmax_cross_entropy_with_integer_labels(logits_per_image, labels).mean()
+    lt = optax.softmax_cross_entropy_with_integer_labels(logits_per_text, labels).mean()
+    return (li + lt) / 2.0
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(model_cfg: ClipConfig, train_cfg: TrainConfig, mesh=None) -> Tuple[ClipModel, TrainState]:
+    model, params = init_params(model_cfg, seed=train_cfg.seed)
+    tx = make_optimizer(train_cfg)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Replicate model + optimizer state; batch shards over DATA_AXIS.
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    return model, state
+
+
+def make_train_step(model: ClipModel, mesh=None):
+    """One jitted training step. With a mesh, inputs shard over the data
+    axis and the InfoNCE logits matmul triggers GSPMD all-gathers."""
+
+    def step(state: TrainState, pixels: jnp.ndarray, tokens: jnp.ndarray):
+        def loss_fn(params):
+            logits_i, logits_t = model.apply(params, pixels, tokens)
+            return clip_loss(logits_i, logits_t)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sharded, batch_sharded),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def shard_train_batch(mesh, pixels: np.ndarray, tokens: np.ndarray):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.device_put(pixels, s), jax.device_put(tokens, s)
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax)
+
+
+def save_checkpoint(ckpt_dir: Path, state: TrainState, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state.params))
+        mgr.wait_until_finished()
+
+
+def restore_params(ckpt_dir: Path, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        return mgr.restore(step)
+
+
+def train_loop(
+    model: ClipModel,
+    state: TrainState,
+    batches: Iterator[Dict[str, np.ndarray]],
+    train_cfg: TrainConfig,
+    mesh=None,
+    ckpt_dir: Optional[Path] = None,
+    log_every: int = 100,
+):
+    """Minimal driver: batches yield {'pixels': (B,H,W,3) f32, 'tokens':
+    (B,L) i32}. Returns the final state."""
+    step_fn = make_train_step(model, mesh=mesh)
+    for step_idx, batch in enumerate(batches):
+        pixels = jnp.asarray(batch["pixels"])
+        tokens = jnp.asarray(batch["tokens"])
+        if mesh is not None:
+            pixels, tokens = shard_train_batch(mesh, pixels, tokens)
+        state, loss = step_fn(state, pixels, tokens)
+        if step_idx % log_every == 0:
+            print(f"step {step_idx}: loss {float(loss):.4f}")
+        if ckpt_dir is not None and step_idx > 0 and step_idx % train_cfg.save_interval == 0:
+            save_checkpoint(ckpt_dir, state, step_idx)
+        if step_idx + 1 >= train_cfg.total_steps:
+            break
+    return state

@@ -1,0 +1,170 @@
+"""Downstream filter-then-train classification.
+
+Counterpart of lib/downstream/train_downstream_classification.py:
+1. load a detector run's per-example scores (``dists.npy`` or a LEMoN
+   ``{criteria}_scores.csv``), drop training examples above a percentile
+   (:142-148 — higher score = more likely mislabeled),
+2. fine-tune an image classifier on the kept noisy-labeled data with a
+   cosine LR schedule and best-val-accuracy early stopping (:150-202),
+3. report average and worst-group accuracy (:204-233,
+   lib/metrics/utils.py:235-254).
+
+The training loop is one jitted step; batches stream with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lemon_tpu.data.datasets import ClassificationSplit, iter_batches, load_images
+from lemon_tpu.models.classifier import ImageClassifier, classification_loss, init_classifier
+from lemon_tpu.models.clip import ClipConfig
+from lemon_tpu.ops.image import preprocess_device
+from lemon_tpu.scoring.metrics import get_stats
+
+
+@dataclasses.dataclass
+class DownstreamConfig:
+    num_classes: int = 10
+    percentile: float = 60.0  # keep scores below this percentile
+    epochs: int = 20
+    batch_size: int = 128
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    freeze_backbone: bool = False
+    es_patience: int = 5
+    seed: int = 0
+    model_cfg: ClipConfig = dataclasses.field(default_factory=ClipConfig.tiny)
+
+
+def filter_split(split: ClassificationSplit, scores: np.ndarray, percentile: float) -> ClassificationSplit:
+    """Drop rows whose mislabel score exceeds the percentile threshold
+    (train_downstream_classification.py:142-148)."""
+    assert len(scores) == len(split)
+    thres = np.percentile(scores, percentile)
+    keep = np.flatnonzero(scores <= thres)
+    assert len(keep) > 0, "filter kept nothing"
+    return split.subset(keep)
+
+
+def load_detector_scores(path: Path, split_name: str = "train") -> np.ndarray:
+    """Scores from either a baseline's dists.npy(+datasplit.npy) or a LEMoN
+    scores CSV (cross-run coupling contract of the reference)."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        dists = np.load(path)
+        split_tags = np.load(path.parent / "datasplit.npy", allow_pickle=True)
+        return dists[np.asarray(split_tags).ravel() == split_name]
+    import pandas as pd
+
+    df = pd.read_csv(path, index_col=0)
+    return df.loc[df.sset == split_name, "pred_score"].to_numpy()
+
+
+def _epoch_batches(split, batch_size, image_size, rng):
+    order = rng.permutation(len(split))
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        n_valid = len(idx)
+        if n_valid < batch_size:
+            idx = np.concatenate([idx, order[: batch_size - n_valid]])
+        images = load_images(split, idx)
+        pixels = preprocess_device(images, size=image_size)
+        yield pixels, jnp.asarray(split.y_noisy[idx]), n_valid
+
+
+def train_downstream(
+    cfg: DownstreamConfig,
+    splits: Dict[str, ClassificationSplit],
+    detector_scores: Optional[np.ndarray] = None,
+    out_dir: Optional[Path] = None,
+) -> Dict:
+    train = splits["train"]
+    if detector_scores is not None:
+        kept = filter_split(train, detector_scores, cfg.percentile)
+        print(f"filter: kept {len(kept)}/{len(train)} train examples")
+        train = kept
+
+    model, params = init_classifier(cfg.model_cfg, cfg.num_classes, cfg.seed, cfg.freeze_backbone)
+    steps_per_epoch = max(len(train) // cfg.batch_size, 1)
+    schedule = optax.cosine_decay_schedule(cfg.learning_rate, cfg.epochs * steps_per_epoch)
+    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, pixels, labels):
+        def loss_fn(p):
+            return classification_loss(model.apply(p, pixels), labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, pixels):
+        return jax.nn.softmax(model.apply(params, pixels), axis=-1)
+
+    def eval_split(params, split):
+        preds = []
+        for idx, n_valid in iter_batches(split, cfg.batch_size):
+            pixels = preprocess_device(load_images(split, idx), size=cfg.model_cfg.image_resolution)
+            preds.append(np.asarray(predict(params, pixels))[:n_valid])
+        probs = np.concatenate(preds)
+        pred_y = probs.argmax(axis=1)
+        return probs, pred_y, (pred_y == split.y_clean).mean()
+
+    rng = np.random.default_rng(cfg.seed)
+    best_val, best_params, since_best = -1.0, params, 0
+    t0 = time.time()
+    for epoch in range(cfg.epochs):
+        losses = []
+        for pixels, labels, _ in _epoch_batches(train, cfg.batch_size, cfg.model_cfg.image_resolution, rng):
+            params, opt_state, loss = train_step(params, opt_state, pixels, labels)
+            losses.append(float(loss))
+            assert np.isfinite(losses[-1])
+        _, _, val_acc = eval_split(params, splits["val"])
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f} val_acc {val_acc:.4f}")
+        if val_acc > best_val:
+            best_val, best_params, since_best = val_acc, params, 0
+        else:
+            since_best += 1
+            if since_best >= cfg.es_patience:
+                print(f"early stop at epoch {epoch} (best val_acc {best_val:.4f})")
+                break
+    runtime = time.time() - t0
+
+    results = {"val_acc_best": best_val, "runtime_s": runtime}
+    for sname in ("val", "test"):
+        split = splits[sname]
+        probs, pred_y, acc = eval_split(best_params, split)
+        group_stats = {}
+        for cls in np.unique(split.y_clean):
+            mask = split.y_clean == cls
+            group_stats[int(cls)] = {"accuracy": float((pred_y[mask] == cls).mean()), "n": int(mask.sum())}
+        worst = min(g["accuracy"] for g in group_stats.values())
+        results[sname] = {
+            "accuracy": float(acc),
+            "worst_group_accuracy": worst,
+            "groups": group_stats,
+        }
+        if out_dir is not None:
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            np.save(out_dir / f"{sname}_pred_y.npy", pred_y)
+            np.save(out_dir / f"{sname}_probs.npy", probs)
+    if out_dir is not None:
+        import json
+
+        from lemon_tpu.core.io import json_default
+
+        (Path(out_dir) / "results.json").write_text(json.dumps(results, default=json_default))
+        (Path(out_dir) / "done").write_text("done")
+    return results

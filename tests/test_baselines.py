@@ -1,0 +1,113 @@
+"""Baseline detectors on synthetic data: output contract + detection
+signal + scoring-math golden checks."""
+
+import numpy as np
+import pytest
+
+from lemon_tpu.baselines.common import BaselineConfig
+from lemon_tpu.baselines.clip_sim import run_clip_sim
+from lemon_tpu.baselines.deepknn import run_deepknn
+from lemon_tpu.baselines.discrepancy import run_discrepancy
+from lemon_tpu.baselines.zero_shot import run_zero_shot_logits
+from lemon_tpu.scoring.distance_metrics import (
+    aum_score,
+    datamap_score,
+    knn_label_distribution,
+    pair_distances,
+)
+
+
+def clf_cfg(**kw):
+    return BaselineConfig(
+        dataset="synthetic", noise_type="symmetric", noise_level=0.4, clip_model="tiny",
+        knn_k=5, batch_size=64, synthetic_n=240, knn_tile=64, **kw,
+    )
+
+
+def caption_cfg(**kw):
+    return BaselineConfig(
+        dataset="synthetic_caption", noise_type="random", noise_level=0.4, clip_model="tiny",
+        knn_k=5, batch_size=64, synthetic_n=240, knn_tile=64, **kw,
+    )
+
+
+def test_pair_distances():
+    a = np.array([[1.0, 0.0], [0.0, 2.0]])
+    b = np.array([[1.0, 0.0], [0.0, -1.0]])
+    np.testing.assert_allclose(pair_distances(a, b, "cosine"), [0.0, 2.0], atol=1e-12)
+    np.testing.assert_allclose(pair_distances(a, b, "euclidean"), [0.0, 3.0])
+    np.testing.assert_allclose(pair_distances(a, b, "manhattan"), [0.0, 3.0])
+
+
+def test_aum_and_datamap_scores():
+    # 2 epochs, 3 samples, 3 classes
+    probs = np.array([
+        [[0.8, 0.1, 0.1], [0.2, 0.6, 0.2], [0.1, 0.2, 0.7]],
+        [[0.6, 0.2, 0.2], [0.1, 0.8, 0.1], [0.3, 0.3, 0.4]],
+    ])
+    y = np.array([0, 1, 0])
+    aum = aum_score(probs, y)
+    # sample 0: margins (0.8-0.1), (0.6-0.2) -> mean 0.55
+    assert aum[0] == pytest.approx(0.55)
+    # sample 2 has label 0 but class-2 mass: strongly negative margin
+    assert aum[2] < 0
+
+    flags, tuples = datamap_score(probs, y)
+    assert tuples.shape == (3, 2)
+    assert tuples[0, 0] == pytest.approx(0.7)  # mean confidence
+    assert flags[2] == 1  # low-confidence low-variability -> flagged
+
+
+def test_knn_label_distribution_detects_minority_label():
+    rng = np.random.default_rng(0)
+    # two well-separated clusters; one sample in cluster A carries label B
+    a = rng.normal(0, 0.05, (30, 8)) + np.r_[np.ones(4), np.zeros(4)]
+    b = rng.normal(0, 0.05, (30, 8)) + np.r_[np.zeros(4), np.ones(4)]
+    feats = np.concatenate([a, b]).astype(np.float32)
+    labels = np.array([0] * 30 + [1] * 30)
+    labels[3] = 1  # mislabeled
+    probs = knn_label_distribution(feats, labels, 2, k=5, norm="l1")
+    score = 1 - probs[np.arange(60), labels]
+    assert np.argmax(score) == 3
+
+
+@pytest.mark.parametrize("runner,cfg_fn,kw", [
+    (run_clip_sim, caption_cfg, {}),
+    (run_zero_shot_logits, clf_cfg, {"temperature": 0.07}),
+    (run_discrepancy, caption_cfg, {"method": "dis_x"}),
+    (run_deepknn, clf_cfg, {}),
+])
+def test_baseline_runs_and_detects(tmp_path, runner, cfg_fn, kw):
+    """Signal-bearing baselines on the concept-codebook mock encoder
+    (cross-modal scores need aligned embeddings; the *_x discrepancy scores
+    need text-neighborhoods whose images cohere)."""
+    from mock_encoder import AlignedMockEncoder
+
+    res = runner(cfg_fn(**kw), tmp_path, encoder=AlignedMockEncoder())
+    assert (tmp_path / "res.pkl").exists() and (tmp_path / "done").exists()
+    agg = res["agg_results"]
+    assert agg["test"]["AUROC"] > 0.55, agg["test"]["AUROC"]
+    df = res["df"]
+    assert {"sset", "pred_score", "is_mislabel"}.issubset(df.columns)
+
+
+@pytest.mark.parametrize("method", ["dis_y", "div_y", "div_x"])
+def test_text_only_discrepancy_contract(tmp_path, method):
+    """dis_y/div_y are text-only and div_* measure *neighborhood* diversity
+    rather than query correctness: a swapped caption is still a valid
+    caption with a coherent neighborhood, so these hover near chance on
+    caption-swap noise — contract checks only."""
+    res = run_discrepancy(caption_cfg(method=method), tmp_path)
+    assert (tmp_path / "res.pkl").exists()
+    assert np.isfinite(res["df"]["pred_score"].to_numpy()).all()
+    assert "AUROC" in res["agg_results"]["test"]
+
+
+def test_zero_shot_temperature_changes_scores(tmp_path):
+    from mock_encoder import AlignedMockEncoder
+
+    res_t1 = run_zero_shot_logits(clf_cfg(temperature=1.0), encoder=AlignedMockEncoder())
+    res_t001 = run_zero_shot_logits(clf_cfg(temperature=0.01), encoder=AlignedMockEncoder())
+    s1 = res_t1["df"]["pred_score"].to_numpy()
+    s2 = res_t001["df"]["pred_score"].to_numpy()
+    assert not np.allclose(s1, s2)

@@ -1,0 +1,108 @@
+"""End-to-end detection pipeline tests on synthetic data (SURVEY.md §4 plan
+item 4 analog: e2e with the full output contract)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from lemon_tpu.detect import DetectionConfig, run_detection
+from lemon_tpu.scoring.lemon import NeighborLogs
+
+SMALL_GRID = {"beta": [0, 5, 20], "gamma": [0, 5, 20], "tau_1": [0, 5], "tau_2": [0, 5]}
+
+
+@pytest.fixture(scope="module")
+def caption_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("lemon_caption")
+    cfg = DetectionConfig(
+        dataset="synthetic_caption",
+        noise_type="random",
+        noise_level=0.4,
+        clip_model="tiny",
+        knn_k=5,
+        batch_size=64,
+        synthetic_n=300,
+        knn_tile=64,
+        grid=SMALL_GRID,
+    )
+    res = run_detection(cfg, out)
+    return cfg, out, res
+
+
+def test_output_contract(caption_run):
+    cfg, out, res = caption_run
+    assert (out / "res.pkl").exists()
+    assert (out / "know_val_labels_scores.csv").exists()
+    loaded = pickle.load(open(out / "res.pkl", "rb"))
+    assert set(loaded.keys()) == {"df", "agg_results"}
+    df = loaded["df"]
+    for col in ("sset", "idx", "is_mislabel", "d_1", "dists_n", "D_n", "dists_tr_n", "dists_m", "D_m", "dists_tr_m", "know_val_labels_pred_score"):
+        assert col in df.columns, col
+    assert set(df.sset.unique()) == {"train", "val", "test"}
+    # round-trip through the reference-compatible frame
+    logs = NeighborLogs.from_dataframe(df)
+    assert logs.k == cfg.knn_k
+
+
+def test_detection_quality(caption_run):
+    _, _, res = caption_run
+    agg = res["agg_results"]["know_val_labels"]
+    # Synthetic templates + random tiny encoder: the neighbor signal alone
+    # must give decisively-better-than-chance detection.
+    assert agg["val"]["AUROC"] > 0.7
+    assert agg["test"]["AUROC"] > 0.7
+    for field in ("beta", "gamma", "thres", "selected_val"):
+        assert field in agg
+
+
+def test_train_split_scored(caption_run):
+    _, _, res = caption_run
+    df = res["df"]
+    n_train = (df.sset == "train").sum()
+    assert n_train == 240
+    # self-exclusion: a train row's neighbor distance must not be ~0
+    train_D = np.stack(df.loc[df.sset == "train", "D_n"].to_list())
+    assert (train_D[:, 0] > -0.9999).all()  # cosine: D_n = -similarity
+
+
+def test_classification_dataset_ablations(tmp_path):
+    base = dict(
+        dataset="synthetic", noise_type="symmetric", noise_level=0.4, clip_model="tiny",
+        knn_k=3, batch_size=64, synthetic_n=200, knn_tile=64, grid=SMALL_GRID,
+    )
+    res = run_detection(DetectionConfig(**base, ablation="only_beta"))
+    agg = res["agg_results"]["know_val_labels"]
+    assert agg["beta"] == 1 and agg["gamma"] == 0
+
+    res = run_detection(DetectionConfig(**base, ablation="multimodal_baseline"))
+    agg = res["agg_results"]["know_val_labels"]
+    assert agg["beta"] == 0 and agg["gamma"] == 0 and "thres" in agg
+
+    res = run_detection(DetectionConfig(**base, ablation="gamma"))
+    agg = res["agg_results"]["know_val_labels"]
+    assert agg["gamma"] == 0.0
+
+
+def test_skip_hparam_optim(tmp_path):
+    cfg = DetectionConfig(
+        dataset="synthetic_caption", noise_type="random", clip_model="tiny",
+        knn_k=3, batch_size=64, synthetic_n=150, knn_tile=64, skip_hparam_optim=True,
+    )
+    res = run_detection(cfg, tmp_path)
+    assert set(res.keys()) == {"df"}
+    assert (tmp_path / "need_hparam_optim").exists()
+
+
+def test_euclidean_dist_type():
+    cfg = DetectionConfig(
+        dataset="synthetic_caption", noise_type="random", clip_model="tiny", dist_type="euclidean",
+        knn_k=3, batch_size=64, synthetic_n=150, knn_tile=64, grid=SMALL_GRID, skip_train=True,
+    )
+    res = run_detection(cfg)
+    agg = res["agg_results"]["know_val_labels"]
+    assert agg["test"]["AUROC"] > 0.6
+    df = res["df"]
+    assert set(df.sset.unique()) == {"val", "test"}  # skip_train honored
+    # euclidean D_n are squared distances (non-negative)
+    assert (np.stack(df["D_n"].to_list()) >= 0).all()

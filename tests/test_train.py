@@ -1,0 +1,91 @@
+"""Contrastive trainer tests: loss semantics, DP-mesh global-batch
+equivalence (SURVEY.md §7 hard part #6), checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lemon_tpu.core.mesh import get_mesh
+from lemon_tpu.models.clip import ClipConfig
+from lemon_tpu.train.contrastive import (
+    TrainConfig,
+    clip_loss,
+    create_train_state,
+    make_train_step,
+    shard_train_batch,
+)
+
+
+def make_batch(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    pixels = rng.standard_normal((b, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32)
+    tokens = rng.integers(1, cfg.vocab_size - 2, (b, cfg.context_length)).astype(np.int32)
+    tokens[:, -1] = cfg.vocab_size - 1
+    return pixels, tokens
+
+
+def test_clip_loss_prefers_diagonal():
+    eye = jnp.eye(4) * 10.0
+    anti = (1 - jnp.eye(4)) * 10.0
+    assert float(clip_loss(eye, eye.T)) < float(clip_loss(anti, anti.T))
+    # uniform logits -> log(n)
+    uni = jnp.zeros((4, 4))
+    assert float(clip_loss(uni, uni)) == pytest.approx(np.log(4), abs=1e-5)
+
+
+def test_single_device_step_decreases_loss():
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10, batch_size=8)
+    model, state = create_train_state(cfg, tcfg)
+    step = make_train_step(model)
+    pixels, tokens = make_batch(cfg, 8)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, jnp.asarray(pixels), jnp.asarray(tokens))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_mesh_step_matches_single_device():
+    """Global-batch InfoNCE under DP must equal the single-device loss —
+    GSPMD inserts the all-gather; semantics must not change."""
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10, batch_size=8)
+    pixels, tokens = make_batch(cfg, 8, seed=3)
+
+    model, state_1 = create_train_state(cfg, tcfg)
+    step_1 = make_train_step(model)
+    state_1, loss_1 = step_1(state_1, jnp.asarray(pixels), jnp.asarray(tokens))
+
+    mesh = get_mesh()
+    model, state_n = create_train_state(cfg, tcfg, mesh=mesh)
+    step_n = make_train_step(model, mesh=mesh)
+    p_sh, t_sh = shard_train_batch(mesh, pixels, tokens)
+    state_n, loss_n = step_n(state_n, p_sh, t_sh)
+
+    assert float(loss_n) == pytest.approx(float(loss_1), abs=1e-4)
+    # parameters after one step also agree
+    a = jax.tree_util.tree_leaves(state_1.params)
+    b = jax.tree_util.tree_leaves(state_n.params)
+    worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
+    assert worst < 1e-4, worst
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(warmup_steps=1, total_steps=2)
+    model, state = create_train_state(cfg, tcfg)
+
+    from lemon_tpu.train.contrastive import restore_params, save_checkpoint
+
+    save_checkpoint(tmp_path / "ckpt", state, step=1)
+    restored = restore_params(tmp_path / "ckpt")
+    orig = jax.tree_util.tree_leaves(state.params)
+    back = jax.tree_util.tree_leaves(restored)
+    assert len(orig) == len(back)
+    for x, y in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
