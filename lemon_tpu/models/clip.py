@@ -337,4 +337,7 @@ def init_params(cfg: ClipConfig, seed: int = 0, precision: Precision = Precision
     model = ClipModel(cfg, precision=precision)
     pixels = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
-    return model, model.init(jax.random.PRNGKey(seed), pixels, tokens)
+    # jit the init: un-jitted tracing dispatches every initializer as its
+    # own device op — hundreds of RPC round-trips on a tunneled TPU.
+    init_fn = jax.jit(model.init)
+    return model, init_fn(jax.random.PRNGKey(seed), pixels, tokens)

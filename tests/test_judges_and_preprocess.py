@@ -1,0 +1,168 @@
+"""Judge prompt/parser behavioral tests (driven with scripted fakes) and
+offline-preprocessing tests."""
+
+import numpy as np
+import pytest
+
+from lemon_tpu.baselines.judges import (
+    LLAVA_QUERY,
+    VdcPipeline,
+    generate_questions,
+    llava_mislabel_score,
+    match_common_answer,
+    match_specific_answer,
+    parse_llava_verdict,
+    parse_vqg_output,
+    run_llava_judge,
+    spell_out_numbers,
+    vdc_score,
+)
+from lemon_tpu.data.preprocess import (
+    build_caption_metadata,
+    extract_nouns,
+    extract_report_caption,
+    nouns_to_ints,
+    section_text,
+)
+
+
+# ---------------------------------------------------------------------------
+# LLaVA judge
+
+
+def test_llava_verdict_parsing():
+    assert parse_llava_verdict("No, the caption is wrong.") == 1
+    assert parse_llava_verdict("  no") == 1
+    assert parse_llava_verdict("Yes.") == 0
+    # reference semantics: any leading 'no' counts, including "Not sure"
+    # (run_llava.py parse_output uses startswith('no'))
+    assert parse_llava_verdict("Not sure") == 1
+    assert parse_llava_verdict(None) == 0
+
+
+def test_llava_score_direction():
+    pred, score = llava_mislabel_score("No", 0.9)
+    assert pred == 1 and score == 0.9
+    pred, score = llava_mislabel_score("Yes", 0.9)
+    assert pred == 0 and score == pytest.approx(0.1)
+
+
+def test_llava_judge_end_to_end_with_fake_vlm():
+    def fake_vlm(image, prompt):
+        assert 'Only answer with "Yes" or "No"' in prompt
+        # pretend the model answers 'No' when image != caption tag
+        return ("No" if image != prompt.split('"')[1] else "Yes"), 0.8
+
+    logs = run_llava_judge(["cat", "dog"], ["cat", "bird"], fake_vlm)
+    assert logs[0]["pred"] == 0 and logs[0]["score"] == pytest.approx(0.2)
+    assert logs[1]["pred"] == 1 and logs[1]["score"] == pytest.approx(0.8)
+
+
+# ---------------------------------------------------------------------------
+# VDC
+
+
+def test_vqg_parse_caps_and_cleans():
+    text = "Is there a boy?\n| hidden answer: yes |\nIs it red?\n\n" + "\n".join(f"Q{i}?" for i in range(8))
+    qs = parse_vqg_output(text)
+    assert len(qs) == 6
+    assert qs[0] == "is there a boy?"
+    assert "hidden answer" not in " ".join(qs)
+
+
+def test_generate_questions_uses_caption_prompt():
+    seen = {}
+
+    def fake_llm(prompt):
+        seen["prompt"] = prompt
+        return "Is there a dog?\nIs the dog brown?"
+
+    qs = generate_questions("a brown dog", fake_llm, clf=True)
+    assert 'The caption is "a brown dog".' in seen["prompt"]
+    assert qs == ["is there a dog?", "is the dog brown?"]
+
+
+def test_specific_answer_matching():
+    assert match_specific_answer("There are two dogs", "2")
+    assert match_specific_answer("I see a red car", "red")
+    assert not match_specific_answer("a blue boat", "red")
+    assert spell_out_numbers("0 cats") == "zero none nothing no cats"
+
+
+def test_common_answer_matching_and_score():
+    def fake_llm(prompt):
+        if "Labels: [a photo of a cat]" in prompt:
+            caption_part = prompt.split("Caption: [")[1].split("]")[0]
+            return "yes" if "cat" in caption_part else "no"
+        return "Is it fluffy?"
+
+    assert match_common_answer("a cat sitting", "a photo of a cat", fake_llm)
+    assert not match_common_answer("a dog", "a photo of a cat", fake_llm)
+
+    score = vdc_score("a photo of a cat", ["a cat", "a dog"], ["two"], ["2"], fake_llm)
+    # matches: 1 common of 2, 1 specific of 1 -> 1 - 2/3
+    assert score == pytest.approx(1 / 3)
+
+
+def test_vdc_pipeline_end_to_end():
+    def fake_llm(prompt):
+        if "generate some visual questions" in prompt:
+            return "Is there a cat?\nIs it furry?"
+        caption_part = prompt.split("Caption: [")[1].split("]")[0]
+        return "yes" if "cat" in caption_part else "no"
+
+    def fake_vlm(image, question):
+        return f"the image shows a {image}"
+
+    pipe = VdcPipeline(llm_generate=fake_llm, vlm_answer=fake_vlm,
+                       specific_qa={"cat": [("How many legs?", "4")]})
+    good = pipe.score_example("cat", "a photo of a cat", label="cat")
+    bad = pipe.score_example("dog", "a photo of a cat", label="cat")
+    assert good["score"] < bad["score"]
+    assert len(good["questions"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+
+
+REPORT = """EXAMINATION: Chest radiograph.
+
+ COMPARISON: None.
+
+ FINDINGS: The lungs are clear. No effusion.
+
+ IMPRESSION: No acute cardiopulmonary process.
+"""
+
+
+def test_section_text_and_caption():
+    sections = section_text(REPORT)
+    assert "findings" in sections and "impression" in sections
+    assert sections["findings"].startswith("The lungs are clear")
+    caption = extract_report_caption(REPORT)
+    assert caption.startswith("FINDINGS:\n")
+    assert "IMPRESSION:\nNo acute cardiopulmonary process." in caption
+    # no headers -> full report; no findings/impression -> empty caption
+    assert section_text("just text") == {"full report": "just text"}
+    assert extract_report_caption("just text") == ""
+
+
+def test_extract_nouns_and_interning():
+    nouns, used_spacy = extract_nouns(["A red car near the house", "a car and a dog"])
+    assert "car" in nouns[0] and "house" in nouns[0]
+    ints, vocab = nouns_to_ints(nouns)
+    assert vocab["car"] == ints[0][ints[0].index(vocab["car"])]
+    assert set(ints[1]) & set(ints[0])  # 'car' shared
+
+
+def test_build_caption_metadata():
+    df = build_caption_metadata(
+        ["/a/img1.jpg", "/a/img2.jpg"],
+        ["a red car", "a blue boat"],
+        ["train", "val"],
+        cat_labels=[[1], [2]],
+    )
+    for col in ("path", "filename", "sentence", "split", "nouns_int", "cat_labels"):
+        assert col in df.columns
+    assert df.attrs["noun_vocab"]
