@@ -1,0 +1,108 @@
+"""Downstream filter-then-train CLI.
+
+Counterpart of lib/downstream/train_downstream_classification.py and
+downstream_captioning.py: consume a detector run's scores, filter the
+training split, fine-tune, evaluate.
+
+    python -m lemon_tpu.cli.run_downstream --task classification \
+        --output_dir out/ds --dataset synthetic --scores out/run/dists.npy
+    python -m lemon_tpu.cli.run_downstream --task captioning \
+        --output_dir out/dc --dataset synthetic_caption \
+        --scores out/run/know_val_labels_scores.csv --lora
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="lemon_tpu downstream training")
+    p.add_argument("--task", required=True, choices=["classification", "captioning"])
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--noise_type", default="symmetric")
+    p.add_argument("--noise_level", type=float, default=0.4)
+    p.add_argument("--scores", default=None, help="detector dists.npy or scores CSV; omit for no filtering")
+    p.add_argument("--percentile", type=float, default=60.0)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--freeze_backbone", action="store_true")
+    p.add_argument("--lora", action="store_true", help="captioning: train LoRA adapters only")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--synthetic_n", type=int, default=300)
+    p.add_argument("--model_size", default="tiny", choices=["tiny", "vit_b32"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from lemon_tpu.core.io import dump_args, env_banner, redirect_output
+    from lemon_tpu.data.datasets import get_dataset
+    from lemon_tpu.data.labels import LABEL_SETS
+    from lemon_tpu.models.clip import ClipConfig
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    redirect_output(out_dir)
+    print(env_banner())
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    dump_args(out_dir, vars(args))
+
+    splits = dict(zip(("train", "val", "test"), get_dataset(
+        args.dataset, args.data_seed, noise_level=args.noise_level,
+        noise_type=args.noise_type, synthetic_n=args.synthetic_n,
+    )))
+
+    scores = None
+    if args.scores:
+        from lemon_tpu.train.downstream import load_detector_scores
+
+        scores = load_detector_scores(Path(args.scores), "train")
+
+    model_cfg = ClipConfig.tiny() if args.model_size == "tiny" else ClipConfig.vit_b32()
+
+    if args.task == "classification":
+        from lemon_tpu.train.downstream import DownstreamConfig, train_downstream
+
+        n_classes = len(LABEL_SETS.get(args.dataset, LABEL_SETS["cifar10"]))
+        cfg = DownstreamConfig(
+            num_classes=n_classes, percentile=args.percentile, epochs=args.epochs,
+            batch_size=args.batch_size, learning_rate=args.lr,
+            freeze_backbone=args.freeze_backbone, seed=args.seed, model_cfg=model_cfg,
+        )
+        results = train_downstream(cfg, splits, detector_scores=scores, out_dir=out_dir)
+        print(f"test accuracy {results['test']['accuracy']:.4f} "
+              f"worst-group {results['test']['worst_group_accuracy']:.4f}")
+    else:
+        from lemon_tpu.models.captioner import CaptionerConfig
+        from lemon_tpu.train.captioning import CaptionTrainConfig, train_captioner
+
+        mc = CaptionerConfig.tiny() if args.model_size == "tiny" else CaptionerConfig.base()
+        if args.lora:
+            import dataclasses
+
+            mc = dataclasses.replace(mc, lora_rank=16)
+        cfg = CaptionTrainConfig(
+            percentile=args.percentile, epochs=args.epochs, batch_size=args.batch_size,
+            learning_rate=args.lr, seed=args.seed, lora_only=args.lora, model_cfg=mc,
+        )
+        results = train_captioner(cfg, splits, detector_scores=scores, out_dir=out_dir)
+        print(f"best val loss {results['val_loss_best']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,7 +114,7 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int):
 
 def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, n_valid_per_shard):
     """Build a shard_map'd search over a database sharded on DATA_AXIS."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[DATA_AXIS]
 
@@ -137,7 +137,7 @@ def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, n_valid_per_s
         # concat by (shard, slot) which is ascending index within each shard
         # but interleaved across shards — resolve exactly via lexicographic
         # penalty-free two-key sort below.
-        order = jnp.argsort(cat_i, axis=1, kind="stable")
+        order = jnp.argsort(cat_i, axis=1, stable=True)
         cat_s = jnp.take_along_axis(cat_s, order, axis=1)
         cat_i = jnp.take_along_axis(cat_i, order, axis=1)
         out_s, pos = jax.lax.top_k(cat_s, k)
@@ -149,7 +149,7 @@ def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, n_valid_per_s
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -164,13 +164,16 @@ class ExactKnnIndex:
     across devices on the data axis.
     """
 
-    def __init__(self, metric: str = "ip", tile: int = 4096, mesh: Optional[Mesh] = None):
+    def __init__(self, metric: str = "ip", tile: int = 4096, mesh: Optional[Mesh] = None, backend: str = "device"):
         assert metric in ("ip", "l2")
+        assert backend in ("device", "cpp")
         self.metric = metric
         self.tile = tile
         self.mesh = mesh
+        self.backend = backend
         self._chunks = []
         self._xb = None  # device array, padded
+        self._xb_host = None
         self._n = 0
 
     @property
@@ -180,12 +183,18 @@ class ExactKnnIndex:
     def add(self, xb: np.ndarray) -> None:
         self._chunks.append(np.ascontiguousarray(xb, dtype=np.float32))
         self._xb = None
+        self._xb_host = None
 
     def _finalize(self):
-        if self._xb is not None:
+        if self._xb is not None or self._xb_host is not None:
             return
         xb = np.concatenate(self._chunks, axis=0) if len(self._chunks) > 1 else self._chunks[0]
         self._n = xb.shape[0]
+        if self.backend == "cpp":
+            # Native host backend (lemon_tpu.knn.cpp_backend): embeddings
+            # stay in host memory; no padding needed.
+            self._xb_host = xb
+            return
         if self.mesh is None:
             n_pad = pad_to_multiple(self._n, self.tile)
             if n_pad != self._n:
@@ -213,6 +222,10 @@ class ExactKnnIndex:
         'ip': inner products descending. 'l2': squared distances ascending.
         """
         self._finalize()
+        if self.backend == "cpp":
+            from lemon_tpu.knn import cpp_backend
+
+            return cpp_backend.search(self._xb_host, np.asarray(xq), k, self.metric)
         xq = jnp.asarray(np.ascontiguousarray(xq, dtype=np.float32))
         if self.mesh is None:
             s, i = _tiled_search(

@@ -210,8 +210,12 @@ class VisionTower(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels):
-        """``pixels``: (B, H, W, 3) NHWC, already normalized."""
+    def __call__(self, pixels, return_tokens: bool = False):
+        """``pixels``: (B, H, W, 3) NHWC, already normalized.
+
+        ``return_tokens=True`` returns the full (B, 1+G^2, W) token states
+        after the final block + LayerNorm (used as the image prefix by the
+        captioner) instead of the projected CLS embedding."""
         cfg = self.cfg
         b = pixels.shape[0]
         p = cfg.vision_patch_size
@@ -250,6 +254,8 @@ class VisionTower(nn.Module):
             attention_impl=cfg.attention_impl,
             name="transformer",
         )(x)
+        if return_tokens:
+            return FpLayerNorm(name="ln_post")(x)
         x = FpLayerNorm(name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj", nn.initializers.normal(w ** -0.5), (w, cfg.embed_dim), jnp.float32

@@ -1,0 +1,185 @@
+"""Downstream filter-then-train captioning.
+
+Counterpart of lib/downstream/downstream_captioning.py: filter the training
+captions by a detector's scores (percentile threshold, :229-240), fine-tune
+a captioner — optionally LoRA-only (:216-224) — with AdamW + warmup-cosine
+(:273-277), track best val loss with early stopping (:268-270,381-394),
+then generate captions for the test split (:424-440). Also supports the
+loss-based detection mode: per-sample LM loss as a mislabel score
+(:51-79).
+
+Outputs: captions.pkl (generated + gold), flip_labels.pkl, results.json,
+done.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lemon_tpu.core.io import json_default
+from lemon_tpu.data.datasets import CaptioningSplit, iter_batches, load_images
+from lemon_tpu.models.captioner import CaptionerConfig, CaptioningModel, init_captioner, lora_trainable_mask
+from lemon_tpu.models.tokenizer import get_tokenizer, tokenize_batch
+from lemon_tpu.ops.image import preprocess_device
+
+
+@dataclasses.dataclass
+class CaptionTrainConfig:
+    percentile: float = 60.0
+    epochs: int = 10
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    warmup_frac: float = 0.1
+    es_patience: int = 3
+    seed: int = 0
+    lora_only: bool = False
+    model_cfg: CaptionerConfig = dataclasses.field(default_factory=CaptionerConfig.tiny)
+
+
+def _tokenize_captions(texts, cfg: CaptionerConfig):
+    """Captions tokenized to the decoder's max_text_len; ids clipped into
+    the (possibly reduced) captioner vocabulary for the tiny test config."""
+    toks = tokenize_batch(list(texts), cfg.max_text_len)
+    if cfg.vocab_size < 49408:
+        tok = get_tokenizer()
+        toks = np.where(toks == tok.sot_id, cfg.vocab_size - 2, np.where(toks == tok.eot_id, cfg.vocab_size - 1, toks % (cfg.vocab_size - 2)))
+    return toks.astype(np.int32)
+
+
+def filter_caption_split(split: CaptioningSplit, scores: np.ndarray, percentile: float) -> CaptioningSplit:
+    thres = np.percentile(scores, percentile)
+    keep = np.flatnonzero(scores <= thres)
+    frac = len(keep) / len(split)
+    assert 0.0 < frac <= 1.0, "filter sanity (downstream_captioning.py:237-240)"
+    return split.subset(keep)
+
+
+def per_sample_caption_losses(model: CaptioningModel, params, split: CaptioningSplit, cfg: CaptionTrainConfig) -> np.ndarray:
+    """Loss-based detection scores: LM loss of each (image, caption) pair."""
+    mc = cfg.model_cfg
+
+    @jax.jit
+    def losses(params, pixels, tokens):
+        return model.apply(params, pixels, tokens, method=CaptioningModel.per_sample_loss)
+
+    out = np.zeros(len(split), np.float64)
+    for idx, n_valid in iter_batches(split, cfg.batch_size):
+        pixels = preprocess_device(load_images(split, idx), size=mc.vision.image_resolution)
+        tokens = jnp.asarray(_tokenize_captions(split.sentence[idx], mc))
+        out[idx[:n_valid]] = np.asarray(losses(params, pixels, tokens))[:n_valid]
+    return out
+
+
+def train_captioner(
+    cfg: CaptionTrainConfig,
+    splits: Dict[str, CaptioningSplit],
+    detector_scores: Optional[np.ndarray] = None,
+    out_dir: Optional[Path] = None,
+) -> Dict:
+    mc = cfg.model_cfg
+    train = splits["train"]
+    if detector_scores is not None:
+        kept = filter_caption_split(train, detector_scores, cfg.percentile)
+        print(f"filter: kept {len(kept)}/{len(train)} captions")
+        train = kept
+
+    model, params = init_captioner(mc, cfg.seed)
+    steps_per_epoch = max(len(train) // cfg.batch_size, 1)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.learning_rate,
+        max(int(cfg.warmup_frac * cfg.epochs * steps_per_epoch), 1),
+        cfg.epochs * steps_per_epoch,
+    )
+    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    if cfg.lora_only:
+        mask = lora_trainable_mask(params)
+        tx = optax.multi_transform(
+            {True: tx, False: optax.set_to_zero()}, mask
+        )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, pixels, tokens):
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, pixels, tokens, method=CaptioningModel.per_sample_loss))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_loss(params, pixels, tokens):
+        return jnp.mean(model.apply(params, pixels, tokens, method=CaptioningModel.per_sample_loss))
+
+    def val_loss(params):
+        vals = []
+        for idx, n_valid in iter_batches(splits["val"], cfg.batch_size):
+            pixels = preprocess_device(load_images(splits["val"], idx), size=mc.vision.image_resolution)
+            tokens = jnp.asarray(_tokenize_captions(splits["val"].sentence[idx], mc))
+            vals.append(float(eval_loss(params, pixels, tokens)))
+        return float(np.mean(vals))
+
+    rng = np.random.default_rng(cfg.seed)
+    best_val, best_params, since_best = np.inf, params, 0
+    t0 = time.time()
+    for epoch in range(cfg.epochs):
+        order = rng.permutation(len(train))
+        losses = []
+        for start in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+            idx = order[start : start + cfg.batch_size]
+            pixels = preprocess_device(load_images(train, idx), size=mc.vision.image_resolution)
+            tokens = jnp.asarray(_tokenize_captions(train.sentence[idx], mc))
+            params, opt_state, loss = train_step(params, opt_state, pixels, tokens)
+            losses.append(float(loss))
+        vl = val_loss(params)
+        print(f"epoch {epoch}: train_loss {np.mean(losses):.4f} val_loss {vl:.4f}")
+        if vl < best_val:
+            best_val, best_params, since_best = vl, params, 0
+        else:
+            since_best += 1
+            if since_best >= cfg.es_patience:
+                print(f"early stop at epoch {epoch}")
+                break
+    runtime = time.time() - t0
+
+    # generate test captions
+    tok = get_tokenizer()
+    bos = mc.vocab_size - 2 if mc.vocab_size < 49408 else tok.sot_id
+    eot = mc.vocab_size - 1 if mc.vocab_size < 49408 else tok.eot_id
+
+    @jax.jit
+    def gen(params, pixels):
+        return model.apply(params, pixels, bos, eot, method=CaptioningModel.generate)
+
+    generated = []
+    test = splits["test"]
+    for idx, n_valid in iter_batches(test, cfg.batch_size):
+        pixels = preprocess_device(load_images(test, idx), size=mc.vision.image_resolution)
+        toks = np.asarray(gen(best_params, pixels))[:n_valid]
+        for row in toks:
+            ids = [int(t) for t in row[1:] if t not in (0, bos, eot)]
+            generated.append(tok.decode(ids).strip() if mc.vocab_size >= 49408 else " ".join(map(str, ids)))
+
+    results = {"val_loss_best": best_val, "runtime_s": runtime, "n_train": len(train)}
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / "captions.pkl", "wb") as f:
+            pickle.dump({"generated": generated, "gold": list(test.gold_sentence), "noisy": list(test.sentence)}, f)
+        with open(out_dir / "flip_labels.pkl", "wb") as f:
+            pickle.dump(test.is_mislabel, f)
+        (out_dir / "results.json").write_text(json.dumps(results, default=json_default))
+        (out_dir / "done").write_text("done")
+    results["generated"] = generated
+    return results

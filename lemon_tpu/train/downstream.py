@@ -65,7 +65,9 @@ def load_detector_scores(path: Path, split_name: str = "train") -> np.ndarray:
         return dists[np.asarray(split_tags).ravel() == split_name]
     import pandas as pd
 
-    df = pd.read_csv(path, index_col=0)
+    df = pd.read_csv(path)
+    if "sset" not in df.columns:  # run_lemon CSVs carry an index column
+        df = pd.read_csv(path, index_col=0)
     return df.loc[df.sset == split_name, "pred_score"].to_numpy()
 
 

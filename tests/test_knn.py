@@ -93,3 +93,40 @@ def test_sharded_search_matches_numpy():
         ref_d, ref_i = numpy_search(xb, xq, 9, metric)
         np.testing.assert_array_equal(i, ref_i)
         np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+
+
+def test_cpp_backend_matches_numpy():
+    """Native host backend (ctypes/C++) parity with the numpy oracle."""
+    from lemon_tpu.knn import cpp_backend
+
+    if not cpp_backend.available():
+        pytest.skip("g++ unavailable")
+    rng = np.random.default_rng(11)
+    xb = normed(rng, 500, 32)
+    xq = normed(rng, 40, 32)
+    for metric in ("ip", "l2"):
+        d, i = cpp_backend.search(xb, xq, 7, metric)
+        ref_d, ref_i = numpy_search(xb, xq, 7, metric)
+        np.testing.assert_array_equal(i, ref_i)
+        np.testing.assert_allclose(d, ref_d, rtol=1e-4, atol=1e-4)
+
+    # pair distances
+    pd = cpp_backend.pair_distances(xb[:40], xq, "cosine")
+    ref = 1 - np.sum(xb[:40] * xq, axis=1)
+    np.testing.assert_allclose(pd, ref, atol=1e-5)
+
+
+def test_index_cpp_backend_option():
+    from lemon_tpu.knn import cpp_backend
+
+    if not cpp_backend.available():
+        pytest.skip("g++ unavailable")
+    rng = np.random.default_rng(12)
+    xb = normed(rng, 300, 16)
+    xq = normed(rng, 10, 16)
+    index = ExactKnnIndex(metric="ip", backend="cpp")
+    index.add(xb[:100])
+    index.add(xb[100:])
+    d, i = index.search(xq, 5)
+    ref_d, ref_i = numpy_search(xb, xq, 5, "ip")
+    np.testing.assert_array_equal(i, ref_i)
