@@ -16,7 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
-BASELINES = ("clip_sim", "zero_shot", "discrepancy", "deepknn", "aum", "datamap")
+BASELINES = ("clip_sim", "zero_shot", "discrepancy", "deepknn", "capfilt", "aum", "datamap")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -67,6 +67,8 @@ def main(argv=None):
         from lemon_tpu.baselines.discrepancy import run_discrepancy as runner
     elif args.baseline == "deepknn":
         from lemon_tpu.baselines.deepknn import run_deepknn as runner
+    elif args.baseline == "capfilt":
+        from lemon_tpu.baselines.capfilt import run_capfilt as runner
     else:
         from lemon_tpu.baselines.training_dependent import run_training_dependent
 

@@ -175,15 +175,17 @@ def build_neighbor_logs(
     in_compr = np.zeros(n_train, bool)
     in_compr[compr_ids] = True
 
+    from lemon_tpu.core.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     compr_texts, _, _, _ = _texts_for_split(cfg, compr, label_set)
-    t0 = time.time()
-    img_tr, txt_tr = encoder.embed_split(
-        compr,
-        compr_texts,
-        cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/compr",
-        cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
-    )
-    embed_time = time.time() - t0
+    with timer.phase("embed_compr"):
+        img_tr, txt_tr = encoder.embed_split(
+            compr,
+            compr_texts,
+            cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/compr",
+            cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
+        )
 
     metric = "ip" if cfg.dist_type == "cosine" else "l2"
     index_img = ExactKnnIndex(metric=metric, tile=cfg.knn_tile, mesh=mesh)
@@ -209,40 +211,38 @@ def build_neighbor_logs(
         names = ["train", "val", "test"]
 
     rows: List[NeighborLogs] = []
-    timing = {"embed_compr_s": embed_time, "knn_s": 0.0, "component_s": 0.0}
     for sname in names:
         split = splits[sname]
         noisy_texts, clean_texts, noisy_labels, actual_labels = _texts_for_split(cfg, split, label_set)
         if sname == "train" and n_train <= cfg.compr_dataset_size_limit:
             img, txt = img_tr, txt_tr  # same transform -> identical embeddings
         else:
-            img, txt = encoder.embed_split(
-                split,
-                noisy_texts,
-                cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/{sname}",
-                cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
-            )
+            with timer.phase(f"embed_{sname}"):
+                img, txt = encoder.embed_split(
+                    split,
+                    noisy_texts,
+                    cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/{sname}",
+                    cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
+                )
 
         extra = 1 if sname == "train" else 0
-        t0 = time.time()
-        D_n, I_n = index_img.search(img, k + extra)
-        D_m, I_m = index_txt.search(txt, k + extra)
-        timing["knn_s"] += time.time() - t0
+        with timer.phase("knn_search"):
+            D_n, I_n = index_img.search(img, k + extra)
+            D_m, I_m = index_txt.search(txt, k + extra)
         if sname == "train":
             D_n, I_n = train_split_exclusion(D_n, I_n, None, in_compr)
             D_m, I_m = train_split_exclusion(D_m, I_m, None, in_compr)
 
-        t0 = time.time()
-        fn = _components_cosine if cfg.dist_type == "cosine" else _components_euclidean
-        d1, dists_n, dists_m, dtr_n, dtr_m = [
-            np.asarray(a)
-            for a in fn(
-                jnp.asarray(img), jnp.asarray(txt),
-                jnp.asarray(txt_tr)[jnp.asarray(I_n)], jnp.asarray(img_tr)[jnp.asarray(I_m)],
-                jnp.asarray(dists_tr)[jnp.asarray(I_n)], jnp.asarray(dists_tr)[jnp.asarray(I_m)],
-            )
-        ]
-        timing["component_s"] += time.time() - t0
+        with timer.phase("components"):
+            fn = _components_cosine if cfg.dist_type == "cosine" else _components_euclidean
+            d1, dists_n, dists_m, dtr_n, dtr_m = [
+                np.asarray(a)
+                for a in fn(
+                    jnp.asarray(img), jnp.asarray(txt),
+                    jnp.asarray(txt_tr)[jnp.asarray(I_n)], jnp.asarray(img_tr)[jnp.asarray(I_m)],
+                    jnp.asarray(dists_tr)[jnp.asarray(I_n)], jnp.asarray(dists_tr)[jnp.asarray(I_m)],
+                )
+            ]
 
         if cfg.use_discrete_for_text:
             dists_n = 1.0 - (compr_text_arr[I_n] == np.asarray(noisy_texts)[:, None]).astype(np.float64)
@@ -282,7 +282,7 @@ def build_neighbor_logs(
             for f in dataclasses.fields(NeighborLogs)
         }
     )
-    return merged, timing
+    return merged, timer.as_dict()
 
 
 ABLATION_FORCE = {

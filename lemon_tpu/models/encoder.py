@@ -124,17 +124,19 @@ class ClipEncoder:
                 blob = np.load(path)
                 return blob["img"], blob["txt"]
 
-        img_chunks, txt_chunks = [], []
+        # Dispatch every batch without blocking: jax's async dispatch
+        # overlaps the host-side decode/tokenize of batch i+1 with the
+        # device compute of batch i; results are fetched once at the end.
+        img_chunks, txt_chunks, valid = [], [], []
         for idx, n_valid in iter_batches(split, self.batch_size):
             images = load_images(split, idx)
             pixels = preprocess_device(images, size=self.cfg.image_resolution)
             tokens = tokenize_batch([texts[i] for i in idx], self.cfg.context_length, self.tokenizer)
-            img_e = self._encode_image(self.params, pixels)
-            txt_e = self._encode_text(self.params, jnp.asarray(tokens))
-            img_chunks.append(np.asarray(img_e)[:n_valid])
-            txt_chunks.append(np.asarray(txt_e)[:n_valid])
-        img = np.concatenate(img_chunks)
-        txt = np.concatenate(txt_chunks)
+            img_chunks.append(self._encode_image(self.params, pixels))
+            txt_chunks.append(self._encode_text(self.params, jnp.asarray(tokens)))
+            valid.append(n_valid)
+        img = np.concatenate([np.asarray(e)[:n] for e, n in zip(img_chunks, valid)])
+        txt = np.concatenate([np.asarray(e)[:n] for e, n in zip(txt_chunks, valid)])
 
         if cache_key is not None and cache_dir is not None:
             cache_dir.mkdir(parents=True, exist_ok=True)

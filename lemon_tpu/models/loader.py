@@ -138,7 +138,7 @@ def openai_config_from_state_dict(sd: Mapping[str, np.ndarray]) -> ClipConfig:
     grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
     vision_layers = len({k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")})
     text_width = sd["ln_final.weight"].shape[0]
-    text_layers = len({k.split(".")[3] for k in sd if k.startswith("transformer.resblocks.")})
+    text_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
     return ClipConfig(
         embed_dim=sd["text_projection"].shape[1],
         image_resolution=patch * grid,

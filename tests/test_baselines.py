@@ -111,3 +111,24 @@ def test_zero_shot_temperature_changes_scores(tmp_path):
     s1 = res_t1["df"]["pred_score"].to_numpy()
     s2 = res_t001["df"]["pred_score"].to_numpy()
     assert not np.allclose(s1, s2)
+
+
+def test_capfilt_with_proxy_head(tmp_path):
+    from mock_encoder import AlignedMockEncoder
+
+    from lemon_tpu.baselines.capfilt import run_capfilt
+
+    res = run_capfilt(caption_cfg(), tmp_path, encoder=AlignedMockEncoder())
+    assert (tmp_path / "full_loss_dict.pkl").exists()
+    assert res["agg_results"]["test"]["AUROC"] > 0.55
+
+
+def test_capfilt_custom_scorer():
+    from lemon_tpu.baselines.capfilt import run_capfilt
+
+    def oracle_itm(images, captions):
+        # scripted scorer: long captions 'match' (arbitrary but deterministic)
+        return np.array([min(len(c) / 40.0, 1.0) for c in captions])
+
+    res = run_capfilt(caption_cfg(), itm_score_fn=oracle_itm)
+    assert np.isfinite(res["df"]["pred_score"]).all()

@@ -32,6 +32,11 @@ def tiny_hf_clip():
             "max_position_embeddings": 16,
             "vocab_size": 1000,
             "hidden_act": "quick_gelu",
+            # transformers pools at the *eos token id* (not argmax); our
+            # argmax pooling is equivalent iff EOT is the max id, as in
+            # real CLIP vocabularies (49407). Mirror that here with 999.
+            "bos_token_id": 998,
+            "eos_token_id": 999,
         },
         vision_config={
             "hidden_size": 64,

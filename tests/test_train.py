@@ -89,3 +89,37 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(orig) == len(back)
     for x, y in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_preemption_checkpoint_roundtrip(tmp_path, monkeypatch):
+    pytest.importorskip("orbax.checkpoint")
+    monkeypatch.setenv("LEMON_TPU_PREEMPT_DIR", str(tmp_path))
+
+    from lemon_tpu.train import preemption
+
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(warmup_steps=1, total_steps=2)
+    model, state = create_train_state(cfg, tcfg)
+    assert not preemption.has_checkpoint()
+    assert preemption.save_checkpoint(state.params, step=7, extra={"rng": 123})
+    assert preemption.has_checkpoint()
+    restored, meta = preemption.load_checkpoint(jax.tree_util.tree_map(np.asarray, state.params))
+    assert meta["step"] == 7 and meta["rng"] == 123
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_phase_timer():
+    from lemon_tpu.core.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    d = t.as_dict()
+    assert set(d) == {"a", "b"} and all(v >= 0 for v in d.values())
