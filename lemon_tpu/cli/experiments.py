@@ -191,6 +191,59 @@ class cc3m_clip_scratch(Experiment):
         }
 
 
+class lemon_caption_mimic_clip_scratch(Experiment):
+    """MIMIC captions scored with the from-scratch MIMIC CLIP encoders
+    (experiments.py lemon_caption_mimic_clip_scratch)."""
+
+    @classmethod
+    def grid(cls):
+        return {
+            "dataset": ["mimiccxr_caption"],
+            "noise_type": ["random", "cat"],
+            "noise_level": [0.4],
+            "clip_model": ["mimic_clip_from_scratch_random", "mimic_clip_from_scratch_cat"],
+            "knn_k": [5, 10, 20],
+            "data_seed": DATA_SEEDS,
+        }
+
+
+class lemon_cc3m_filter_using_scratch(Experiment):
+    """Score CC3M with the from-scratch CC3M CLIP for the data-curation
+    loop (experiments.py lemon_cc3m_filter_using_scratch)."""
+
+    @classmethod
+    def grid(cls):
+        return {
+            "dataset": ["cc3m"],
+            "noise_type": ["random"],
+            "noise_level": [0.0],
+            "real_dataset": [True],
+            "clip_model": ["cc3m_clip_from_scratch"],
+            "knn_k": [10],
+            "data_seed": DATA_SEEDS[:1],
+        }
+
+
+class cc3m_clip_scratch_filtered_from_scratch(Experiment):
+    """Retrain CC3M CLIP on LEMoN-filtered data (experiments.py
+    cc3m_clip_scratch_filtered_from_scratch); point cc3m_filtering at a
+    completed lemon_cc3m_filter_using_scratch run."""
+
+    fname = "lemon_tpu.cli.train_clip"
+
+    @classmethod
+    def grid(cls):
+        return {
+            "dataset": ["cc3m"],
+            "context_length": [77],
+            "batch_size": [256],
+            "lr": [5e-4],
+            "optimizer": ["adamw"],
+            "cc3m_filtering_n": [100000, 500000],
+            "data_seed": DATA_SEEDS[:1],
+        }
+
+
 def get_experiment(name: str):
     exp = globals().get(name)
     if exp is None or not (isinstance(exp, type) and issubclass(exp, Experiment)):

@@ -130,3 +130,20 @@ def test_index_cpp_backend_option():
     d, i = index.search(xq, 5)
     ref_d, ref_i = numpy_search(xb, xq, 5, "ip")
     np.testing.assert_array_equal(i, ref_i)
+
+
+def test_blockmax_prefilter_tie_across_blocks():
+    """Ties spanning 128-wide blocks must resolve by ascending index
+    through the blockmax prefilter path."""
+    rng = np.random.default_rng(13)
+    xb = rng.standard_normal((2048, 8)).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    # plant identical rows far apart (different 128-blocks)
+    for j in [5, 130, 600, 1900]:
+        xb[j] = xb[5]
+    xq = xb[5:6]
+    index = ExactKnnIndex(metric="ip", tile=2048)
+    index.add(xb)
+    d, i = index.search(xq, 6)
+    ref_d, ref_i = numpy_search(xb, xq, 6, "ip")
+    np.testing.assert_array_equal(i, ref_i)
