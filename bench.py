@@ -66,7 +66,7 @@ def bench_embeddings(batch_size: int = 256, steps_small: int = 2, steps_large: i
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_knn(n_db: int = 100_000, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int = 16384) -> float:
+def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int = 16384) -> float:
     import jax.numpy as jnp
 
     from lemon_tpu.knn.index import _tiled_search
@@ -79,19 +79,23 @@ def bench_knn(n_db: int = 100_000, d: int = 512, k: int = 51, q_small: int = 102
 
     import jax
 
-    xb_dev = jnp.asarray(xb)
+    tile = 32768
+    n_pad = ((n_db + tile - 1) // tile) * tile
+    xb_dev = jnp.asarray(np.pad(xb, ((0, n_pad - n_db), (0, 0))))
 
+    # the database is an argument (a closure would bake it into the HLO as
+    # a constant, which the remote-compile service rejects for large arrays)
     @jax.jit
-    def run(xq_dev):
-        scores, idx = _tiled_search(xq_dev, xb_dev, k=k, metric="ip", tile=8192, n_valid=n_db)
+    def run(xq_dev, xb_arg):
+        scores, idx = _tiled_search(xq_dev, xb_arg, k=k, metric="ip", tile=tile, n_valid=n_db)
         return jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32)
 
     small = jnp.asarray(xq[:q_small])
     large = jnp.asarray(xq)
-    _timed_scalar(run, small)
-    _timed_scalar(run, large)
-    t_small = min(_timed_scalar(run, small) for _ in range(3))
-    t_large = min(_timed_scalar(run, large) for _ in range(3))
+    _timed_scalar(run, small, xb_dev)
+    _timed_scalar(run, large, xb_dev)
+    t_small = min(_timed_scalar(run, small, xb_dev) for _ in range(3))
+    t_large = min(_timed_scalar(run, large, xb_dev) for _ in range(3))
     return n_db * (q_large - q_small) / max(t_large - t_small, 1e-9)
 
 

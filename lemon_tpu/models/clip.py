@@ -53,6 +53,10 @@ class ClipConfig:
     # QuickGELU (x * sigmoid(1.702 x)) is what OpenAI CLIP checkpoints use.
     quick_gelu: bool = True
     attention_impl: str = "xla"  # 'xla' | 'pallas'
+    # timm-style ViT variations (BiomedCLIP's visual trunk): patch-embed
+    # bias, no pre-LayerNorm.
+    vision_patch_bias: bool = False
+    vision_ln_pre: bool = True
 
     @property
     def v_heads(self) -> int:
@@ -235,6 +239,9 @@ class VisionTower(nn.Module):
         x = jnp.dot(x, patch_kernel.astype(self.compute_dtype), preferred_element_type=jnp.float32).astype(
             self.compute_dtype
         )
+        if cfg.vision_patch_bias:
+            patch_bias = self.param("patch_bias", nn.initializers.zeros, (w,), jnp.float32)
+            x = x + patch_bias.astype(x.dtype)
 
         cls = self.param("class_embedding", nn.initializers.normal(w ** -0.5), (w,), jnp.float32)
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (b, 1, w)), x], axis=1)
@@ -245,7 +252,8 @@ class VisionTower(nn.Module):
             jnp.float32,
         )
         x = x + pos.astype(x.dtype)
-        x = FpLayerNorm(name="ln_pre")(x)
+        if cfg.vision_ln_pre:
+            x = FpLayerNorm(name="ln_pre")(x)
         x = Transformer(
             cfg.vision_layers,
             cfg.v_heads,

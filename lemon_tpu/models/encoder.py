@@ -34,29 +34,37 @@ class ClipEncoder:
 
     def __init__(
         self,
-        model: ClipModel,
+        model,
         params,
         tokenizer: Optional[ClipBpeTokenizer] = None,
         batch_size: int = 128,
         mesh=None,
         normalize: bool = True,
+        tokenize_fn=None,
     ):
+        """``model`` is any flax module exposing encode_image/encode_text
+        (ClipModel or BiomedClipModel). ``tokenize_fn(texts) -> (B, L)
+        int32`` overrides the default CLIP-BPE tokenization (e.g. WordPiece
+        for BiomedCLIP)."""
         self.model = model
-        self.cfg: ClipConfig = model.cfg
+        self.cfg = model.cfg
         self.params = jax.device_put(params)
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
         self.mesh = mesh
         self.normalize = normalize
+        self._tokenize = tokenize_fn or (
+            lambda texts: tokenize_batch(list(texts), self.cfg.context_length, self.tokenizer)
+        )
 
         def encode_image_fn(params, pixels):
-            emb = self.model.apply(params, pixels, method=ClipModel.encode_image)
+            emb = self.model.apply(params, pixels, method="encode_image")
             if normalize:
                 emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
             return emb
 
         def encode_text_fn(params, tokens):
-            emb = self.model.apply(params, tokens, method=ClipModel.encode_text)
+            emb = self.model.apply(params, tokens, method="encode_text")
             if normalize:
                 emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
             return emb
@@ -84,7 +92,7 @@ class ClipEncoder:
             n_valid = len(chunk)
             if n_valid < bs and len(texts) > bs:
                 chunk = chunk + [chunk[-1]] * (bs - n_valid)  # static shapes
-            tokens = tokenize_batch(chunk, self.cfg.context_length, self.tokenizer)
+            tokens = self._tokenize(chunk)
             emb = self._encode_text(self.params, jnp.asarray(tokens))
             out.append(np.asarray(emb)[:n_valid])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)
@@ -131,7 +139,7 @@ class ClipEncoder:
         for idx, n_valid in iter_batches(split, self.batch_size):
             images = load_images(split, idx)
             pixels = preprocess_device(images, size=self.cfg.image_resolution)
-            tokens = tokenize_batch([texts[i] for i in idx], self.cfg.context_length, self.tokenizer)
+            tokens = self._tokenize([texts[i] for i in idx])
             img_chunks.append(self._encode_image(self.params, pixels))
             txt_chunks.append(self._encode_text(self.params, jnp.asarray(tokens)))
             valid.append(n_valid)

@@ -6,8 +6,8 @@
 - 'chexzero'                    ViT-B/32, OpenAI-format fine-tuned state dict
 - 'mimic_clip_from_scratch_*'   ViT-B/16 embed 768, context 256
 - 'cc3m_clip_from_scratch'      ViT-B/16 embed 768, context 77
-- 'biomed_clip'                 BiomedCLIP (PubMedBERT text tower) — not yet
-                                ported; raises with guidance
+- 'biomed_clip'                 BiomedCLIP: timm ViT-B/16 trunk +
+                                PubMedBERT text tower (models/biomed.py)
 - 'tiny'                        test-scale config (framework-only)
 
 Checkpoint resolution: ``LEMON_TPU_CKPT_<NAME>`` env var, then
@@ -91,10 +91,7 @@ def create_encoder(
     """Build a frozen encoder for a registry name (the analog of
     algorithm_class_from_scratch + .eval(), run_lemon.py:112-115)."""
     if name == "biomed_clip":
-        raise NotImplementedError(
-            "biomed_clip (PubMedBERT text tower) is not ported yet; use "
-            "'huggingface_clip' or a from-scratch CLIP variant."
-        )
+        return _create_biomed_encoder(seed=seed, batch_size=batch_size, mesh=mesh, checkpoint=checkpoint)
     if name not in MODEL_CONFIGS:
         raise KeyError(f"unknown clip_model '{name}'; options: {sorted(MODEL_CONFIGS)}")
 
@@ -114,3 +111,45 @@ def create_encoder(
             f"(set LEMON_TPU_CKPT_{name.upper()}); using random init"
         )
     return ClipEncoder(model, params, batch_size=batch_size, mesh=mesh)
+
+
+def _create_biomed_encoder(seed: int = 0, batch_size: int = 128, mesh=None, checkpoint: Optional[str] = None) -> ClipEncoder:
+    """BiomedCLIP encoder: timm ViT-B/16 + PubMedBERT (models/biomed.py).
+
+    Weights from an open_clip checkpoint (LEMON_TPU_CKPT_BIOMED_CLIP or
+    --checkpoint); WordPiece vocab from LEMON_TPU_BIOMED_VOCAB. Without a
+    vocab the CLIP BPE tokenizer stands in (ids clipped to the BERT vocab)
+    so random-init benchmarking still works.
+    """
+    from lemon_tpu.models.biomed import (
+        BiomedClipConfig,
+        from_open_clip_state_dict,
+        init_biomed,
+        wordpiece_tokenize_fn,
+    )
+
+    cfg = BiomedClipConfig()
+    ckpt = Path(checkpoint) if checkpoint else _checkpoint_path("biomed_clip")
+    if ckpt is not None:
+        sd = load_torch_file(ckpt)
+        params, cfg = from_open_clip_state_dict(sd, cfg)
+        model = __import__("lemon_tpu.models.biomed", fromlist=["BiomedClipModel"]).BiomedClipModel(cfg)
+        print(f"[lemon_tpu] loaded biomed_clip weights from {ckpt}")
+    else:
+        model, params = init_biomed(cfg, seed=seed)
+        print("[lemon_tpu] WARNING: no checkpoint for 'biomed_clip'; using random init")
+
+    vocab = os.environ.get("LEMON_TPU_BIOMED_VOCAB")
+    if vocab and Path(vocab).exists():
+        tokenize_fn = wordpiece_tokenize_fn(vocab, cfg.context_length)
+    else:
+        import numpy as _np
+
+        from lemon_tpu.models.tokenizer import tokenize_batch as _tb
+
+        def tokenize_fn(texts):
+            toks = _tb(list(texts), cfg.context_length)
+            return (_np.asarray(toks) % cfg.text.vocab_size).astype(_np.int32)
+
+        print("[lemon_tpu] WARNING: no PubMedBERT vocab (LEMON_TPU_BIOMED_VOCAB); using clipped CLIP-BPE ids")
+    return ClipEncoder(model, params, batch_size=batch_size, mesh=mesh, tokenize_fn=tokenize_fn)
