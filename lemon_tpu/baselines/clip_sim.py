@@ -16,7 +16,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
-from lemon_tpu.detect import _texts_for_split, _labels_for
+from lemon_tpu.detect import _texts_for_split
 from lemon_tpu.scoring.distance_metrics import pair_distances
 
 

@@ -5,14 +5,13 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
-import time
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
 from lemon_tpu.data.datasets import get_dataset
-from lemon_tpu.detect import DetectionConfig, _is_clf, _labels_for, _texts_for_split
+from lemon_tpu.detect import DetectionConfig, _labels_for, _texts_for_split
 from lemon_tpu.models.registry import create_encoder
 from lemon_tpu.scoring import eval_metrics
 

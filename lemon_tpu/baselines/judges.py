@@ -19,10 +19,7 @@ scripted fakes.
 from __future__ import annotations
 
 import dataclasses
-import re
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
-
-import numpy as np
 
 # ---------------------------------------------------------------------------
 # LLaVA judge (run_llava.py:97-178)

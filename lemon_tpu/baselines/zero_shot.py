@@ -22,7 +22,7 @@ import numpy as np
 from scipy.special import softmax
 
 from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
-from lemon_tpu.detect import _is_clf, _labels_for, _texts_for_split, prompt_fn
+from lemon_tpu.detect import _is_clf, prompt_fn
 
 
 def run_zero_shot_logits(cfg: BaselineConfig, out_dir: Optional[Path] = None, splits=None, encoder=None) -> Dict:

@@ -1,0 +1,155 @@
+"""Generative-judge baseline CLI (LLaVA yes/no, VDC pipeline).
+
+Counterpart of lib/baselines/run_llava.py and run_vdc.py. The prompts and
+parsers live in lemon_tpu.baselines.judges; this CLI wires them to a
+generation backend:
+
+- ``--backend hf --vlm_checkpoint <dir> [--llm_checkpoint <dir>]``: local
+  HuggingFace checkpoints (host torch; gated — no downloads).
+- ``--backend echo``: a deterministic stand-in backend (the VLM answers
+  from a caption/image-concept heuristic) so the full loop, outputs, and
+  evaluation run anywhere. Scores are meaningless; the plumbing is real.
+
+Outputs: res.pkl ({'df', 'agg_results'}), scores.csv, done — same contract
+as the other baselines; val/test splits only (run_llava.py:124).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="lemon_tpu generative judges")
+    p.add_argument("--judge", required=True, choices=["llava", "vdc"])
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--dataset", default="synthetic_caption")
+    p.add_argument("--noise_type", default="random")
+    p.add_argument("--noise_level", type=float, default=0.4)
+    p.add_argument("--backend", default="hf", choices=["hf", "echo"])
+    p.add_argument("--vlm_checkpoint", default=None)
+    p.add_argument("--llm_checkpoint", default=None)
+    p.add_argument("--data_seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true", help="20-sample subset (run_llava.py:85-87)")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--synthetic_n", type=int, default=200)
+    p.add_argument("--specific_qa_csv", default=None, help="VDC per-class QA csv")
+    return p
+
+
+def _echo_backends():
+    """Deterministic stand-ins: reply 'Yes' iff a caption word appears in
+    the stringified image (works with the synthetic datasets' templates
+    only in spirit — intended for plumbing tests)."""
+
+    def vlm_generate(image, prompt):
+        caption = prompt.split('"')[1] if '"' in prompt else ""
+        h = (hash(caption) ^ hash(bytes(np.asarray(image).tobytes()[:64]))) % 100
+        return ("Yes" if h % 2 == 0 else "No"), 0.5 + (h % 50) / 100.0
+
+    def vlm_answer(image, question):
+        return f"the image shows something ({hash(question) % 7})"
+
+    def llm_generate(prompt):
+        if "generate some visual questions" in prompt:
+            return "Is the subject visible?\nIs the scene consistent with the caption?"
+        return "yes" if hash(prompt) % 2 == 0 else "no"
+
+    return vlm_generate, vlm_answer, llm_generate
+
+
+def _hf_backends(vlm_checkpoint, llm_checkpoint):
+    import torch
+    from transformers import pipeline
+
+    vlm_pipe = pipeline("image-text-to-text", model=vlm_checkpoint, torch_dtype=torch.float32)
+    llm_pipe = pipeline("text-generation", model=llm_checkpoint or vlm_checkpoint)
+
+    def vlm_generate(image, prompt):
+        out = vlm_pipe(images=image, text=prompt, max_new_tokens=16, return_full_text=False)
+        text = out[0]["generated_text"]
+        return text, 0.5  # transition scores need model-specific plumbing
+
+    def vlm_answer(image, question):
+        out = vlm_pipe(images=image, text=question, max_new_tokens=32, return_full_text=False)
+        return out[0]["generated_text"]
+
+    def llm_generate(prompt):
+        out = llm_pipe(prompt, max_new_tokens=512, do_sample=False, return_full_text=False)
+        return out[0]["generated_text"]
+
+    return vlm_generate, vlm_answer, llm_generate
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import pandas as pd
+
+    from lemon_tpu.baselines.common import evaluate_scores
+    from lemon_tpu.baselines.judges import VdcPipeline, load_cifar10_specific_questions, run_llava_judge
+    from lemon_tpu.core.io import dump_args, mark_done, redirect_output
+    from lemon_tpu.data.datasets import get_dataset, load_images
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not args.debug:
+        redirect_output(out_dir)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    dump_args(out_dir, vars(args))
+
+    if args.backend == "echo":
+        vlm_generate, vlm_answer, llm_generate = _echo_backends()
+    else:
+        if not args.vlm_checkpoint or not Path(args.vlm_checkpoint).exists():
+            raise SystemExit(
+                "--backend hf requires --vlm_checkpoint pointing at a local "
+                "checkpoint directory (no network in this environment); use "
+                "--backend echo to exercise the pipeline without models."
+            )
+        vlm_generate, vlm_answer, llm_generate = _hf_backends(args.vlm_checkpoint, args.llm_checkpoint)
+
+    _, val, test = get_dataset(args.dataset, args.data_seed, noise_level=args.noise_level,
+                               noise_type=args.noise_type, synthetic_n=args.synthetic_n)
+
+    specific_qa = None
+    if args.specific_qa_csv:
+        specific_qa = load_cifar10_specific_questions(args.specific_qa_csv)
+
+    rows = []
+    for sset, split in (("val", val), ("test", test)):
+        if args.debug:
+            split = split.subset(np.arange(min(20, len(split))))
+        images = load_images(split, np.arange(len(split)))
+        captions = list(split.sentence)
+        if args.judge == "llava":
+            logs = run_llava_judge(list(images), captions, vlm_generate)
+            scores = [l["score"] for l in logs]
+        else:
+            pipe = VdcPipeline(llm_generate=llm_generate, vlm_answer=vlm_answer, specific_qa=specific_qa)
+            scores = [pipe.score_example(images[i], captions[i])["score"] for i in range(len(split))]
+        rows.append(pd.DataFrame({
+            "sset": sset,
+            "idx": np.arange(len(split)),
+            "actual_label": split.gold_sentence,
+            "noisy_label": split.sentence,
+            "is_mislabel": split.is_mislabel,
+            "pred_score": np.asarray(scores, np.float64),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    evaluate_scores(df, out_dir)
+    mark_done(out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,6 @@ def batch_iterator(split, tokenizer_ctx, batch_size, image_size, seed):
     RandomResizedCrop(224, scale=(0.3, 1.0)))."""
     from lemon_tpu.data.datasets import load_images
     from lemon_tpu.models.tokenizer import tokenize_batch
-    from lemon_tpu.ops.image import CLIP_MEAN, CLIP_STD, resize_matrix
-
-    import jax.numpy as jnp
-
     rng = np.random.default_rng(seed)
     n = len(split)
     while True:

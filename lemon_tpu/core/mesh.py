@@ -15,8 +15,6 @@ On a single chip the mesh is (1, 1) and everything degrades to plain jit.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -27,11 +27,11 @@ import os
 import pickle
 import tarfile
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from lemon_tpu.data.labels import LABEL_SETS, num_classes
+from lemon_tpu.data.labels import num_classes
 from lemon_tpu.data.noise import (
     apply_caption_noise,
     caption_noise_by_matching,

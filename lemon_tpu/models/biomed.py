@@ -19,7 +19,7 @@ keys, text.proj.*).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping
+from typing import Mapping
 
 import flax.linen as nn
 import jax

@@ -19,14 +19,14 @@ with text-position-only LM loss. Capabilities ported:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lemon_tpu.models.clip import ClipConfig, FpLayerNorm, Transformer, VisionTower, quick_gelu
+from lemon_tpu.models.clip import ClipConfig, FpLayerNorm, VisionTower, quick_gelu
 
 
 class LoraDense(nn.Module):

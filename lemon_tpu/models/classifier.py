@@ -10,7 +10,6 @@ backbone via stop_gradient.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional
 
 import flax.linen as nn

@@ -13,20 +13,18 @@ every run (SURVEY.md §5 checkpoint/resume notes).
 
 from __future__ import annotations
 
-import functools
 import hashlib
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lemon_tpu.core.mesh import DATA_AXIS, data_sharding
+from lemon_tpu.core.mesh import DATA_AXIS
 from lemon_tpu.data.datasets import Split, iter_batches, load_images
-from lemon_tpu.models.clip import ClipConfig, ClipModel
 from lemon_tpu.models.tokenizer import ClipBpeTokenizer, get_tokenizer, tokenize_batch
-from lemon_tpu.ops.image import CLIP_MEAN, CLIP_STD, preprocess_device
+from lemon_tpu.ops.image import preprocess_device
 
 
 class ClipEncoder:

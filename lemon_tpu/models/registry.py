@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 from lemon_tpu.core.precision import Precision, default_precision
 from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params

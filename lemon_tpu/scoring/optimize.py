@@ -19,7 +19,7 @@ ensemble can only improve.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Sequence, Tuple
+from typing import Callable, Dict, Iterable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

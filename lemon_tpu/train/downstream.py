@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,9 @@ import numpy as np
 import optax
 
 from lemon_tpu.data.datasets import ClassificationSplit, iter_batches, load_images
-from lemon_tpu.models.classifier import ImageClassifier, classification_loss, init_classifier
+from lemon_tpu.models.classifier import classification_loss, init_classifier
 from lemon_tpu.models.clip import ClipConfig
 from lemon_tpu.ops.image import preprocess_device
-from lemon_tpu.scoring.metrics import get_stats
 
 
 @dataclasses.dataclass

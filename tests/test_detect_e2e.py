@@ -106,3 +106,24 @@ def test_euclidean_dist_type():
     assert set(df.sset.unique()) == {"val", "test"}  # skip_train honored
     # euclidean D_n are squared distances (non-negative)
     assert (np.stack(df["D_n"].to_list()) >= 0).all()
+
+
+def test_embedding_cache_roundtrip(tmp_path):
+    """Second run with the same cache key must reuse embeddings and produce
+    identical scores (the capability upgrade noted in SURVEY.md §5)."""
+    cfg = DetectionConfig(
+        dataset="synthetic_caption", noise_type="random", clip_model="tiny",
+        knn_k=3, batch_size=64, synthetic_n=120, knn_tile=32, grid=SMALL_GRID,
+        skip_train=True, embedding_cache=str(tmp_path / "cache"),
+    )
+    res1 = run_detection(cfg)
+    cache_files = list((tmp_path / "cache").glob("emb_*.npz"))
+    assert cache_files, "cache not written"
+    mtimes = {f: f.stat().st_mtime for f in cache_files}
+    res2 = run_detection(cfg)
+    assert {f: f.stat().st_mtime for f in cache_files} == mtimes  # reused
+    np.testing.assert_allclose(
+        res1["df"]["know_val_labels_pred_score"].to_numpy(),
+        res2["df"]["know_val_labels_pred_score"].to_numpy(),
+        rtol=1e-6,
+    )
