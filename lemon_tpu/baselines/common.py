@@ -36,7 +36,7 @@ def setup(cfg: BaselineConfig, splits=None, encoder=None):
     label_set = _labels_for(cfg)
     if encoder is None:
         encoder = create_encoder(
-            cfg.clip_model if not cfg.dataset.startswith("synthetic") else "tiny",
+            cfg.clip_model,
             seed=cfg.seed, batch_size=cfg.batch_size, checkpoint=cfg.checkpoint,
         )
     return splits, encoder, label_set

@@ -384,7 +384,7 @@ def run_detection(cfg: DetectionConfig, out_dir: Optional[Path] = None) -> Dict:
 
     label_set = _labels_for(cfg)
     encoder = create_encoder(
-        cfg.clip_model if not cfg.dataset.startswith("synthetic") else "tiny",
+        cfg.clip_model,
         seed=cfg.seed,
         batch_size=cfg.batch_size,
         mesh=mesh,

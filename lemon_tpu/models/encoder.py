@@ -67,18 +67,27 @@ class ClipEncoder:
                 emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
             return emb
 
+        def embed_pair_fn(params, images_u8, tokens):
+            """Fused preprocess + both towers: ONE dispatch per batch (the
+            tunneled TPU pays ~0.1-1s latency per round trip, so per-batch
+            program count dominates embedding wall-clock)."""
+            pixels = preprocess_device(images_u8, size=self.cfg.image_resolution)
+            return encode_image_fn(params, pixels), encode_text_fn(params, tokens)
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            kw = dict(
-                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS))),
-                out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+            repl = NamedSharding(mesh, P())
+            sharded = NamedSharding(mesh, P(DATA_AXIS))
+            self._encode_image = jax.jit(encode_image_fn, in_shardings=(repl, sharded), out_shardings=sharded)
+            self._encode_text = jax.jit(encode_text_fn, in_shardings=(repl, sharded), out_shardings=sharded)
+            self._embed_pair = jax.jit(
+                embed_pair_fn, in_shardings=(repl, sharded, sharded), out_shardings=(sharded, sharded)
             )
-            self._encode_image = jax.jit(encode_image_fn, **kw)
-            self._encode_text = jax.jit(encode_text_fn, **kw)
         else:
             self._encode_image = jax.jit(encode_image_fn)
             self._encode_text = jax.jit(encode_text_fn)
+            self._embed_pair = jax.jit(embed_pair_fn)
 
     # -- text ---------------------------------------------------------------
 
@@ -130,19 +139,30 @@ class ClipEncoder:
                 blob = np.load(path)
                 return blob["img"], blob["txt"]
 
-        # Dispatch every batch without blocking: jax's async dispatch
-        # overlaps the host-side decode/tokenize of batch i+1 with the
-        # device compute of batch i; results are fetched once at the end.
+        # One fused dispatch per batch, no per-batch blocking (async
+        # dispatch overlaps host decode/tokenize of batch i+1 with device
+        # compute of batch i), and ONE device-side concatenation + fetch per
+        # modality at the end — per-RPC tunnel latency, not compute, is the
+        # wall-clock driver on remote TPUs.
         img_chunks, txt_chunks, valid = [], [], []
         for idx, n_valid in iter_batches(split, self.batch_size):
             images = load_images(split, idx)
-            pixels = preprocess_device(images, size=self.cfg.image_resolution)
             tokens = self._tokenize([texts[i] for i in idx])
-            img_chunks.append(self._encode_image(self.params, pixels))
-            txt_chunks.append(self._encode_text(self.params, jnp.asarray(tokens)))
+            img_e, txt_e = self._embed_pair(self.params, jnp.asarray(images), jnp.asarray(tokens))
+            img_chunks.append(img_e)
+            txt_chunks.append(txt_e)
             valid.append(n_valid)
-        img = np.concatenate([np.asarray(e)[:n] for e, n in zip(img_chunks, valid)])
-        txt = np.concatenate([np.asarray(e)[:n] for e, n in zip(txt_chunks, valid)])
+        if len(img_chunks) == 1:
+            img = np.asarray(img_chunks[0])[: valid[0]]
+            txt = np.asarray(txt_chunks[0])[: valid[0]]
+        else:
+            img_all = np.asarray(jnp.concatenate(img_chunks, axis=0))
+            txt_all = np.asarray(jnp.concatenate(txt_chunks, axis=0))
+            keep = np.concatenate(
+                [np.arange(n) + i * self.batch_size for i, n in enumerate(valid)]
+            )
+            img = img_all[keep]
+            txt = txt_all[keep]
 
         if cache_key is not None and cache_dir is not None:
             cache_dir.mkdir(parents=True, exist_ok=True)
