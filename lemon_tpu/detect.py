@@ -77,7 +77,7 @@ class DetectionConfig:
     skip_hparam_optim: bool = False
     # framework extensions (no reference counterpart)
     synthetic_n: int = 600
-    knn_tile: int = 4096
+    knn_tile: int = 32768
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device
     embedding_cache: Optional[str] = None
     checkpoint: Optional[str] = None
