@@ -269,6 +269,12 @@ def build_neighbor_logs(
                 idx=np.arange(len(split)),
                 noisy_label=np.asarray(noisy_labels),
                 actual_label=np.asarray(actual_labels),
+                # raw label texts (run_lemon.py:295-297); for captioning
+                # these coincide with the labels themselves
+                noisy_label_text=np.asarray(
+                    [label_set[int(i) % len(label_set)] for i in noisy_labels] if _is_clf(cfg) else noisy_labels, object
+                ),
+                actual_label_text=np.asarray(clean_texts, object),
             )
         )
 

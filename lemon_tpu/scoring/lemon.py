@@ -68,6 +68,8 @@ class NeighborLogs:
     idx: Optional[np.ndarray] = None
     noisy_label: Optional[np.ndarray] = None
     actual_label: Optional[np.ndarray] = None
+    noisy_label_text: Optional[np.ndarray] = None
+    actual_label_text: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.d_1)
@@ -91,6 +93,8 @@ class NeighborLogs:
             idx=pick(self.idx),
             noisy_label=pick(self.noisy_label),
             actual_label=pick(self.actual_label),
+            noisy_label_text=pick(self.noisy_label_text),
+            actual_label_text=pick(self.actual_label_text),
         )
 
     def split(self, name: str) -> "NeighborLogs":
@@ -119,6 +123,10 @@ class NeighborLogs:
             data["noisy_label"] = self.noisy_label
         if self.actual_label is not None:
             data["actual_label"] = self.actual_label
+        if self.noisy_label_text is not None:
+            data["noisy_label_text"] = self.noisy_label_text
+        if self.actual_label_text is not None:
+            data["actual_label_text"] = self.actual_label_text
         return pd.DataFrame(data)
 
     @staticmethod
