@@ -79,9 +79,10 @@ def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 102
 
     import jax
 
-    tile = 32768
-    n_pad = ((n_db + tile - 1) // tile) * tile
-    xb_dev = jnp.asarray(np.pad(xb, ((0, n_pad - n_db), (0, 0))))
+    from lemon_tpu.knn.index import auto_tile
+
+    tile = auto_tile(n_db, q_large)
+    xb_dev = jnp.asarray(xb)  # _tiled_search pads internally
 
     # the database is an argument (a closure would bake it into the HLO as
     # a constant, which the remote-compile service rejects for large arrays)

@@ -129,9 +129,27 @@ def _tile_topk(s: jnp.ndarray, start: int | jnp.ndarray, k: int, n_valid: int):
     return out_s, jnp.take_along_axis(cand_col, pos, axis=1)
 
 
+def auto_tile(n_db: int, n_queries: int, budget_bytes: int = 4 << 30) -> int:
+    """Largest DB tile whose (B, tile) fp32 score block fits the budget.
+
+    Bigger tiles mean fewer wide-TopK merges — measured 4.4 -> 7.1 B
+    pairs/s going from 32k to 64k tiles at k=51 (BENCH_NOTES.md); the
+    whole-DB tile OOMs once B * N * 4 bytes passes HBM, hence the budget.
+    """
+    max_tile = max(budget_bytes // max(4 * n_queries, 1), _BLOCK)
+    n_tiles = max(1, -(-n_db // max_tile))
+    return -(-(-(-n_db // n_tiles)) // _BLOCK) * _BLOCK
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "n_valid"))
 def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int):
-    """Scan DB tiles carrying a running (score, index) top-k per query row."""
+    """Scan DB tiles carrying a running (score, index) top-k per query row.
+
+    ``xb`` may have any length; it is padded to a tile multiple inside the
+    program (padding rows are masked by ``n_valid``)."""
+    pad = (-xb.shape[0]) % tile
+    if pad:
+        xb = jnp.pad(xb, ((0, pad), (0, 0)))
     n = xb.shape[0]
     n_tiles = n // tile
     db_sqnorm = jnp.sum(xb * xb, axis=1) if metric == "l2" else None
@@ -213,7 +231,9 @@ class ExactKnnIndex:
     across devices on the data axis.
     """
 
-    def __init__(self, metric: str = "ip", tile: int = 32768, mesh: Optional[Mesh] = None, backend: str = "device"):
+    def __init__(self, metric: str = "ip", tile: Optional[int] = None, mesh: Optional[Mesh] = None, backend: str = "device"):
+        """``tile=None`` picks the largest DB tile whose score block fits a
+        4GB budget per search (bigger tiles = fewer wide-TopK merges)."""
         assert metric in ("ip", "l2")
         assert backend in ("device", "cpp")
         self.metric = metric
@@ -245,13 +265,11 @@ class ExactKnnIndex:
             self._xb_host = xb
             return
         if self.mesh is None:
-            n_pad = pad_to_multiple(self._n, self.tile)
-            if n_pad != self._n:
-                xb = np.pad(xb, [(0, n_pad - self._n), (0, 0)])
+            # _tiled_search pads to the (per-search, adaptive) tile itself.
             self._xb = jnp.asarray(xb)
         else:
             n_dev = self.mesh.shape[DATA_AXIS]
-            per = pad_to_multiple(pad_to_multiple(self._n, n_dev) // n_dev, self.tile)
+            per = pad_to_multiple(pad_to_multiple(self._n, n_dev) // n_dev, _BLOCK)
             n_pad = per * n_dev
             if n_pad != self._n:
                 xb = np.pad(xb, [(0, n_pad - self._n), (0, 0)])
@@ -275,16 +293,31 @@ class ExactKnnIndex:
             from lemon_tpu.knn import cpp_backend
 
             return cpp_backend.search(self._xb_host, np.asarray(xq), k, self.metric)
-        xq = jnp.asarray(np.ascontiguousarray(xq, dtype=np.float32))
+        xq = np.ascontiguousarray(xq, dtype=np.float32)
         if self.mesh is None:
-            s, i = _tiled_search(
-                xq, self._xb, k=k, metric=self.metric, tile=min(self.tile, self._xb.shape[0]), n_valid=self._n
-            )
+            # Chunk queries so the adaptive tile stays large (the tile, not
+            # the query batch, drives merge cost); chunks dispatch async.
+            q_chunk = 16384
+            tile = self.tile or auto_tile(self._n, min(len(xq), q_chunk))
+            tile = min(tile, pad_to_multiple(self._n, _BLOCK))
+            parts = [
+                _tiled_search(
+                    jnp.asarray(xq[start : start + q_chunk]), self._xb,
+                    k=k, metric=self.metric, tile=tile, n_valid=self._n,
+                )
+                for start in range(0, len(xq), q_chunk)
+            ]
+            if len(parts) == 1:
+                s, i = parts[0]
+            else:
+                s = jnp.concatenate([p[0] for p in parts])
+                i = jnp.concatenate([p[1] for p in parts])
         else:
             if k not in self._search_fns:
                 per_shard = self._xb.shape[0] // self.mesh.shape[DATA_AXIS]
+                tile = self.tile or auto_tile(per_shard, xq.shape[0])
                 self._search_fns[k] = _sharded_search_fn(
-                    self.mesh, k, self.metric, min(self.tile, per_shard), None
+                    self.mesh, k, self.metric, min(tile, per_shard), None
                 )
             s, i = self._search_fns[k](xq, self._xb, self._shard_starts, self._shard_valid)
         s = np.asarray(s)
