@@ -127,3 +127,22 @@ def test_embedding_cache_roundtrip(tmp_path):
         res2["df"]["know_val_labels_pred_score"].to_numpy(),
         rtol=1e-6,
     )
+
+
+def test_subset_val_set(tmp_path):
+    """--subset_val_set subsamples validation deterministically
+    (run_lemon.py:108-110)."""
+    cfg = DetectionConfig(
+        dataset="synthetic_caption", noise_type="random", clip_model="tiny",
+        knn_k=3, batch_size=64, synthetic_n=200, knn_tile=64, grid=SMALL_GRID,
+        skip_train=True, subset_val_set=10,
+    )
+    res = run_detection(cfg)
+    df = res["df"]
+    assert (df.sset == "val").sum() == 10
+    # determinism via data_seed
+    res2 = run_detection(cfg)
+    np.testing.assert_array_equal(
+        df.loc[df.sset == "val", "idx"].to_numpy(),
+        res2["df"].loc[res2["df"].sset == "val", "idx"].to_numpy(),
+    )
