@@ -74,10 +74,10 @@ def load_cifar_n_labels(dataset: str, data_root: str = "./data") -> np.ndarray:
     for CIFAR-100; lib/datasets/utils.py:172-178)."""
     import torch
 
-    fname = {"cifar10": "CIFAR-10_human.pt", "cifar100": "CIFAR-100_human.pt"}[
-        "cifar10" if dataset.startswith("cifar10") else "cifar100"
-    ]
-    key = "worse_label" if dataset.startswith("cifar10") else "noisy_label"
+    # order matters: "cifar100".startswith("cifar10") is True
+    is_c100 = dataset.startswith("cifar100")
+    fname = "CIFAR-100_human.pt" if is_c100 else "CIFAR-10_human.pt"
+    key = "noisy_label" if is_c100 else "worse_label"
     path = Path(data_root) / fname
     if not path.exists():
         raise FileNotFoundError(

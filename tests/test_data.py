@@ -158,3 +158,19 @@ def test_iter_batches_padding():
     assert all(len(idx) == 4 for idx, _ in batches)  # static shapes
     imgs = load_images(split, batches[-1][0])
     assert imgs.shape == (4, 4, 4, 3)
+
+
+def test_cifar_n_real_noise_loader(tmp_path, monkeypatch):
+    """'real' noise loads CIFAR-N human labels from the standard .pt files
+    (lib/datasets/utils.py:172-178), gated on file presence."""
+    torch = pytest.importorskip("torch")
+    labels = np.random.default_rng(0).integers(0, 10, 100)
+    torch.save({"worse_label": labels}, tmp_path / "CIFAR-10_human.pt")
+    from lemon_tpu.data.noise import load_cifar_n_labels
+
+    out = load_cifar_n_labels("cifar10", data_root=str(tmp_path))
+    np.testing.assert_array_equal(out, labels)
+    out2 = flip_labels("cifar10", "real", 0.0, None, data_root=str(tmp_path))
+    np.testing.assert_array_equal(out2, labels)
+    with pytest.raises(FileNotFoundError):
+        load_cifar_n_labels("cifar100", data_root=str(tmp_path))
