@@ -69,10 +69,16 @@ def apply_transition_noise(y: np.ndarray, transition: np.ndarray, seed: int) -> 
     return out
 
 
-def load_cifar_n_labels(dataset: str, data_root: str = "./data") -> np.ndarray:
+def load_cifar_n_labels(dataset: str, data_root: str | None = None) -> np.ndarray:
     """CIFAR-N human relabeling ('worse_label' for CIFAR-10, 'noisy_label'
-    for CIFAR-100; lib/datasets/utils.py:172-178)."""
+    for CIFAR-100; lib/datasets/utils.py:172-178). ``data_root`` defaults to
+    $LEMON_TPU_DATA_ROOT (./data)."""
     import torch
+
+    if data_root is None:
+        from lemon_tpu.data.datasets import data_root as _dr
+
+        data_root = str(_dr())
 
     # order matters: "cifar100".startswith("cifar10") is True
     is_c100 = dataset.startswith("cifar100")
@@ -95,7 +101,7 @@ def flip_labels(
     y_true: Optional[np.ndarray],
     data_seed: int = 1,
     n_classes: Optional[int] = None,
-    data_root: str = "./data",
+    data_root: Optional[str] = None,
 ) -> np.ndarray:
     """Dispatcher matching add_noisy_labels (lib/datasets/utils.py:172-193)."""
     if noise_type == "real":
