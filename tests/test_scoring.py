@@ -201,3 +201,43 @@ def test_maximize_metric_improves_and_respects_masks():
         logs, grid=small_grid, x0s=[[1] * 6], force_zero=["beta"], force_one=["gamma"]
     )
     assert best_x[0] == 0.0 and best_x[1] == 1.0
+
+
+def test_strict_grid_path_matches_reference_transcription():
+    """use_device_grid=False must evaluate EVERY grid point under the
+    caller's objective, exactly like lib/metrics/utils.py:173-190 (round-1
+    verdict weak #4). With no optimizer starts the winner is pinned to a
+    direct transcription loop."""
+    logs = make_logs(n=120, k=3, seed=7)
+    y = logs.is_mislabel
+    small_grid = {"beta": [0, 5, 20], "gamma": [0, 5, 20], "tau_1": [0, 5], "tau_2": [0, 5]}
+
+    best_x, best_val, thres = maximize_metric(
+        logs, grid=small_grid, x0s=[], use_device_grid=False
+    )
+
+    # reference grid section: scan all points under obj_func, keep the best
+    oracle_x, oracle_val = None, -1.0
+    for row in grid_to_matrix(small_grid):
+        val = optimize_f1_efficient(y, calc_scores(logs, unpack_hparams(row)))
+        if val > oracle_val:
+            oracle_val, oracle_x = val, row
+    np.testing.assert_array_equal(best_x, oracle_x)
+    assert best_val == pytest.approx(oracle_val, abs=0)
+    _, oracle_thres = optimize_f1_efficient(y, calc_scores(logs, unpack_hparams(oracle_x)), return_thres=True)
+    assert thres == pytest.approx(oracle_thres)
+
+
+def test_detection_config_strict_parity_flag():
+    """DetectionConfig.strict_hparam_parity routes select_and_evaluate
+    through the full-scan grid path."""
+    from unittest import mock
+
+    from lemon_tpu.detect import DetectionConfig, select_and_evaluate
+
+    logs = make_logs(n=90, k=3, seed=5)
+    cfg = DetectionConfig(strict_hparam_parity=True,
+                          grid={"beta": [0, 5], "gamma": [0, 5], "tau_1": [0], "tau_2": [0]})
+    with mock.patch("lemon_tpu.detect.maximize_metric", wraps=maximize_metric) as mm:
+        select_and_evaluate(cfg, logs)
+        assert mm.call_args.kwargs["use_device_grid"] is False
