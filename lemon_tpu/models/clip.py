@@ -38,9 +38,11 @@ from lemon_tpu.core.precision import Precision
 @dataclasses.dataclass(frozen=True)
 class ClipConfig:
     embed_dim: int = 512
-    # Vision tower
+    # Vision tower. ``vision_layers`` follows the reference convention
+    # (chexzero_clip.py:283-303): an int selects the ViT tower; a 4-tuple of
+    # Bottleneck counts selects ModifiedResNet (models/resnet.py).
     image_resolution: int = 224
-    vision_layers: int = 12
+    vision_layers: int | tuple = 12
     vision_width: int = 768
     vision_patch_size: int = 32
     vision_heads: Optional[int] = None  # default: width // 64
@@ -59,8 +61,15 @@ class ClipConfig:
     vision_ln_pre: bool = True
 
     @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
+
+    @property
     def v_heads(self) -> int:
-        return self.vision_heads or self.vision_width // 64
+        if self.vision_heads:
+            return self.vision_heads
+        # RN attnpool heads: width*32 // 64 (chexzero_clip.py:300)
+        return (self.vision_width * 32 if self.is_resnet else self.vision_width) // 64
 
     @property
     def grid(self) -> int:
@@ -79,6 +88,25 @@ class ClipConfig:
             embed_dim=embed_dim,
             vision_patch_size=16,
             context_length=context_length,
+        )
+
+    @staticmethod
+    def rn50() -> "ClipConfig":
+        """OpenAI CLIP RN50 (ModifiedResNet visual tower)."""
+        return ClipConfig(embed_dim=1024, vision_layers=(3, 4, 6, 3), vision_width=64)
+
+    @staticmethod
+    def tiny_rn() -> "ClipConfig":
+        """Test-scale ModifiedResNet config (full code path, toy sizes)."""
+        return ClipConfig(
+            embed_dim=32,
+            image_resolution=64,
+            vision_layers=(1, 1, 1, 1),
+            vision_width=8,
+            context_length=16,
+            text_width=64,
+            text_heads=2,
+            text_layers=2,
         )
 
     @staticmethod
@@ -323,7 +351,12 @@ class ClipModel(nn.Module):
     precision: Precision = Precision()
 
     def setup(self):
-        self.visual = VisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
+        if self.cfg.is_resnet:
+            from lemon_tpu.models.resnet import ResNetVisionTower
+
+            self.visual = ResNetVisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
+        else:
+            self.visual = VisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
         self.text = TextTower(self.cfg, compute_dtype=self.precision.compute_dtype)
         self.logit_scale = self.param(
             "logit_scale",

@@ -131,31 +131,107 @@ def from_hf_state_dict(sd: Mapping[str, np.ndarray], cfg: ClipConfig | None = No
     return {"params": params}, cfg
 
 
+def _text_config_fields(sd: Mapping[str, np.ndarray]) -> dict:
+    text_width = sd["ln_final.weight"].shape[0]
+    return dict(
+        embed_dim=sd["text_projection"].shape[1],
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        text_width=text_width,
+        text_heads=text_width // 64,
+        text_layers=len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}),
+    )
+
+
+def rn_config_from_state_dict(sd: Mapping[str, np.ndarray]) -> ClipConfig:
+    """Shape-inference for ModifiedResNet checkpoints, mirroring the RN
+    branch of build_model (chexzero_clip.py:429-436)."""
+    counts = tuple(
+        len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")}) for b in (1, 2, 3, 4)
+    )
+    vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    output_width = int(round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+    assert output_width ** 2 + 1 == sd["visual.attnpool.positional_embedding"].shape[0]
+    return ClipConfig(
+        image_resolution=output_width * 32,
+        vision_layers=counts,
+        vision_width=vision_width,
+        **_text_config_fields(sd),
+    )
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch (out, in, kh, kw) -> flax NHWC conv kernel (kh, kw, in, out)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _bn_params(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+        "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _rn_visual_params(sd: Mapping[str, np.ndarray], cfg: ClipConfig) -> dict:
+    """visual.* of an RN state dict -> ResNetVisionTower params."""
+    g = lambda name: np.asarray(sd[f"visual.{name}"])
+    visual = {}
+    for i in (1, 2, 3):
+        visual[f"stem_conv{i}"] = {"kernel": _conv_kernel(g(f"conv{i}.weight"))}
+        visual[f"stem_bn{i}"] = _bn_params(sd, f"visual.bn{i}")
+    for stage, n_blocks in enumerate(cfg.vision_layers, start=1):
+        for j in range(n_blocks):
+            p = f"visual.layer{stage}.{j}"
+            blk = {
+                "conv1": {"kernel": _conv_kernel(np.asarray(sd[f"{p}.conv1.weight"]))},
+                "bn1": _bn_params(sd, f"{p}.bn1"),
+                "conv2": {"kernel": _conv_kernel(np.asarray(sd[f"{p}.conv2.weight"]))},
+                "bn2": _bn_params(sd, f"{p}.bn2"),
+                "conv3": {"kernel": _conv_kernel(np.asarray(sd[f"{p}.conv3.weight"]))},
+                "bn3": _bn_params(sd, f"{p}.bn3"),
+            }
+            # downsample Sequential: "-1" avgpool (no params), "0" conv, "1" bn
+            if f"{p}.downsample.0.weight" in sd:
+                blk["down_conv"] = {"kernel": _conv_kernel(np.asarray(sd[f"{p}.downsample.0.weight"]))}
+                blk["down_bn"] = _bn_params(sd, f"{p}.downsample.1")
+            visual[f"layer{stage}_{j}"] = blk
+    visual["attnpool"] = {
+        "positional_embedding": g("attnpool.positional_embedding"),
+        **{
+            proj: {
+                "kernel": g(f"attnpool.{proj}.weight").T,
+                "bias": g(f"attnpool.{proj}.bias"),
+            }
+            for proj in ("q_proj", "k_proj", "v_proj", "c_proj")
+        },
+    }
+    return visual
+
+
 def openai_config_from_state_dict(sd: Mapping[str, np.ndarray]) -> ClipConfig:
     """Shape-inference mirroring chexzero_clip.py:419-456 (ViT variants)."""
     vision_width = sd["visual.conv1.weight"].shape[0]
     patch = sd["visual.conv1.weight"].shape[-1]
     grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
     vision_layers = len({k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")})
-    text_width = sd["ln_final.weight"].shape[0]
-    text_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
     return ClipConfig(
-        embed_dim=sd["text_projection"].shape[1],
         image_resolution=patch * grid,
         vision_layers=vision_layers,
         vision_width=vision_width,
         vision_patch_size=patch,
-        context_length=sd["positional_embedding"].shape[0],
-        vocab_size=sd["token_embedding.weight"].shape[0],
-        text_width=text_width,
-        text_heads=text_width // 64,
-        text_layers=text_layers,
+        **_text_config_fields(sd),
     )
 
 
 def from_openai_state_dict(sd: Mapping[str, np.ndarray], cfg: ClipConfig | None = None):
-    """Convert an OpenAI-format CLIP state dict (fused in_proj) to Flax params."""
-    cfg = cfg or openai_config_from_state_dict(sd)
+    """Convert an OpenAI-format CLIP state dict (fused in_proj) to Flax
+    params. Detects the visual tower like build_model (chexzero_clip.py:420):
+    ``visual.proj`` present = ViT, else ModifiedResNet."""
+    is_vit = "visual.proj" in sd
+    if cfg is None:
+        cfg = openai_config_from_state_dict(sd) if is_vit else rn_config_from_state_dict(sd)
 
     def block(prefix: str) -> dict:
         g = lambda name: np.asarray(sd[f"{prefix}.{name}"])
@@ -173,8 +249,8 @@ def from_openai_state_dict(sd: Mapping[str, np.ndarray], cfg: ClipConfig | None 
             g("mlp.c_proj.weight"), g("mlp.c_proj.bias"),
         )
 
-    params = {
-        "visual": {
+    if is_vit:
+        visual = {
             "patch_embedding": _conv_to_patch_kernel(np.asarray(sd["visual.conv1.weight"])),
             "class_embedding": np.asarray(sd["visual.class_embedding"]),
             "positional_embedding": np.asarray(sd["visual.positional_embedding"]),
@@ -184,7 +260,11 @@ def from_openai_state_dict(sd: Mapping[str, np.ndarray], cfg: ClipConfig | None 
             },
             "ln_post": {"scale": np.asarray(sd["visual.ln_post.weight"]), "bias": np.asarray(sd["visual.ln_post.bias"])},
             "proj": np.asarray(sd["visual.proj"]),
-        },
+        }
+    else:
+        visual = _rn_visual_params(sd, cfg)
+    params = {
+        "visual": visual,
         "text": {
             "token_embedding": np.asarray(sd["token_embedding.weight"]),
             "positional_embedding": np.asarray(sd["positional_embedding"]),

@@ -33,6 +33,7 @@ MODEL_CONFIGS = {
     "mimic_clip_from_scratch_random": ClipConfig.from_scratch_mimic(),
     "mimic_clip_from_scratch_cat": ClipConfig.from_scratch_mimic(),
     "cc3m_clip_from_scratch": ClipConfig.vit_b16(embed_dim=768, context_length=77),
+    "rn50": ClipConfig.rn50(),  # ModifiedResNet tower (chexzero_clip.py:120-174)
     "tiny": ClipConfig.tiny(),
 }
 
