@@ -39,6 +39,8 @@ def build_parser():
     p.add_argument("--platform", default=None)
     p.add_argument("--synthetic_n", type=int, default=200)
     p.add_argument("--specific_qa_csv", default=None, help="VDC per-class QA csv")
+    p.add_argument("--max_new_tokens", type=int, default=512,
+                   help="generation budget (run_llava.py:143); lower for tiny test checkpoints")
     return p
 
 
@@ -63,25 +65,58 @@ def _echo_backends():
     return vlm_generate, vlm_answer, llm_generate
 
 
-def _hf_backends(vlm_checkpoint, llm_checkpoint):
+def _hf_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=512):
+    """Real HuggingFace backends with reference-faithful answer
+    probabilities: greedy generate with output_scores, P(first content
+    token) = exp(transition_scores[1]) with a 0.5 fallback for one-token
+    replies (run_llava.py:140-161)."""
     import torch
-    from transformers import pipeline
+    from transformers import AutoModelForImageTextToText, AutoProcessor
 
-    vlm_pipe = pipeline("image-text-to-text", model=vlm_checkpoint, torch_dtype=torch.float32)
-    llm_pipe = pipeline("text-generation", model=llm_checkpoint or vlm_checkpoint)
+    vlm = AutoModelForImageTextToText.from_pretrained(vlm_checkpoint, dtype=torch.float32).eval()
+    processor = AutoProcessor.from_pretrained(vlm_checkpoint)
+
+    def _format(prompt):
+        try:
+            msgs = [{"role": "user", "content": [{"type": "image"}, {"type": "text", "text": prompt}]}]
+            return processor.apply_chat_template(msgs, add_generation_prompt=True)
+        except Exception:
+            # llava-v1 conversation style (run_llava.py:129-132)
+            return f"USER: <image>\n{prompt} ASSISTANT:"
+
+    @torch.inference_mode()
+    def _vlm_run(image, prompt):
+        inputs = processor(images=np.asarray(image), text=_format(prompt), return_tensors="pt")
+        out = vlm.generate(
+            **inputs, do_sample=False, max_new_tokens=max_new_tokens,
+            return_dict_in_generate=True, output_scores=True,
+        )
+        gen = out.sequences[:, inputs["input_ids"].shape[1]:]
+        text = processor.batch_decode(gen, skip_special_tokens=True)[0].strip()
+        ts = vlm.compute_transition_scores(
+            out.sequences, out.scores, normalize_logits=True
+        ).cpu().numpy()[0]
+        prob = float(np.exp(ts[1])) if len(ts) > 1 else 0.5
+        return text, prob
 
     def vlm_generate(image, prompt):
-        out = vlm_pipe(images=image, text=prompt, max_new_tokens=16, return_full_text=False)
-        text = out[0]["generated_text"]
-        return text, 0.5  # transition scores need model-specific plumbing
+        return _vlm_run(image, prompt)
 
     def vlm_answer(image, question):
-        out = vlm_pipe(images=image, text=question, max_new_tokens=32, return_full_text=False)
-        return out[0]["generated_text"]
+        return _vlm_run(image, question)[0]
 
-    def llm_generate(prompt):
-        out = llm_pipe(prompt, max_new_tokens=512, do_sample=False, return_full_text=False)
-        return out[0]["generated_text"]
+    llm_generate = None
+    if llm_checkpoint:
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        llm = AutoModelForCausalLM.from_pretrained(llm_checkpoint, dtype=torch.float32).eval()
+        llm_tok = AutoTokenizer.from_pretrained(llm_checkpoint)
+
+        @torch.inference_mode()
+        def llm_generate(prompt):
+            ids = llm_tok(prompt, return_tensors="pt")
+            out = llm.generate(**ids, do_sample=False, max_new_tokens=max_new_tokens)
+            return llm_tok.decode(out[0, ids["input_ids"].shape[1]:], skip_special_tokens=True)
 
     return vlm_generate, vlm_answer, llm_generate
 
@@ -117,7 +152,11 @@ def main(argv=None):
                 "checkpoint directory (no network in this environment); use "
                 "--backend echo to exercise the pipeline without models."
             )
-        vlm_generate, vlm_answer, llm_generate = _hf_backends(args.vlm_checkpoint, args.llm_checkpoint)
+        vlm_generate, vlm_answer, llm_generate = _hf_backends(
+            args.vlm_checkpoint, args.llm_checkpoint, max_new_tokens=args.max_new_tokens
+        )
+        if args.judge == "vdc" and llm_generate is None:
+            raise SystemExit("--judge vdc with --backend hf needs --llm_checkpoint (VQG/VAE stages)")
 
     _, val, test = get_dataset(args.dataset, args.data_seed, noise_level=args.noise_level,
                                noise_type=args.noise_type, synthetic_n=args.synthetic_n)

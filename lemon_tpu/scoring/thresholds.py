@@ -97,6 +97,14 @@ def _prev_constraint_fallback(y, score, pred_prev, return_thres: bool):
 def f1_with_local_minima_finder(y, score, return_thres: bool = False):
     y = np.asarray(y)
     score = np.asarray(score)
+    if np.all(score == score.flat[0]):
+        # Degenerate constant scores: gaussian_kde needs a non-singular
+        # covariance (the reference would crash here; any threshold at the
+        # constant yields identical predictions, matching its final
+        # global-mean fallback, lib/metrics/utils.py:339).
+        thres = float(score.flat[0])
+        f1 = f1_score(y, score >= thres)
+        return (f1, thres) if return_thres else f1
     density = gaussian_kde(score)
     xs = np.linspace(score.min(), score.max(), 1000)
     ys = density.evaluate(xs)
