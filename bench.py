@@ -29,7 +29,9 @@ def _timed_scalar(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
-def bench_embeddings(batch_size: int = 256, steps_small: int = 2, steps_large: int = 22) -> float:
+def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: int = 42) -> float:
+    """batch 128 + attention packing measured fastest on v5e (15.8k img/s;
+    256 -> 13.9k, 512 -> 11.3k; BENCH_NOTES round 2)."""
     import functools
 
     import jax
@@ -64,6 +66,66 @@ def bench_embeddings(batch_size: int = 256, steps_small: int = 2, steps_large: i
     t_small = min(_timed_scalar(run, params, images, steps_small) for _ in range(3))
     t_large = min(_timed_scalar(run, params, images, steps_large) for _ in range(3))
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
+
+
+def bench_text_embeddings(batch_size: int = 256, steps_small: int = 2, steps_large: int = 22) -> float:
+    """Text tower (77-token BPE context) throughput, same methodology."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.core.precision import Precision
+    from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params
+
+    cfg = ClipConfig.vit_b32()
+    model, params = init_params(cfg, seed=0, precision=Precision.bf16())
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, cfg.vocab_size - 2, (batch_size, cfg.context_length)).astype(np.int32)
+    tokens[:, -1] = cfg.vocab_size - 1
+    tokens = jnp.asarray(tokens)
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run(params, toks, steps):
+        def body(carry, step):
+            shifted = jnp.roll(toks, step, axis=0)
+            emb = model.apply(params, shifted, method=ClipModel.encode_text)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            return carry + jnp.sum(emb.astype(jnp.float32)), ()
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
+        return total
+
+    for steps in (steps_small, steps_large):
+        _timed_scalar(run, params, tokens, steps)
+    t_small = min(_timed_scalar(run, params, tokens, steps_small) for _ in range(3))
+    t_large = min(_timed_scalar(run, params, tokens, steps_large) for _ in range(3))
+    return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
+
+
+def bench_e2e_detect(n: int = 20_000) -> dict:
+    """Full detection pipeline wall-clock (the run_lemon.py:135,309-312
+    analog): synthetic captioning pairs, ViT-B/32, k=50, val/test scoring +
+    hparam optimization, including all jit compiles."""
+    from lemon_tpu.detect import DetectionConfig, run_detection
+
+    cfg = DetectionConfig(
+        dataset="synthetic_caption",
+        noise_type="random",
+        noise_level=0.4,
+        clip_model="huggingface_clip",
+        knn_k=50,
+        batch_size=256,
+        synthetic_n=n,
+        skip_train=True,
+        grid={"beta": [0, 5, 20, 100], "gamma": [0, 5, 20, 100], "tau_1": [0, 1, 5, 10], "tau_2": [0, 1, 5, 10]},
+    )
+    t0 = time.time()
+    res = run_detection(cfg)
+    wall = time.time() - t0
+    auroc = res["agg_results"]["know_val_labels"]["test"]["AUROC"]
+    return {"e2e_detect_20k_seconds": round(wall, 1), "e2e_detect_20k_test_auroc": round(float(auroc), 4)}
 
 
 def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int = 16384) -> float:
@@ -106,15 +168,19 @@ def main():
 
     backend = jax.default_backend()
     emb_rate = bench_embeddings()
+    txt_rate = bench_text_embeddings()
     knn_rate = bench_knn()
     knn_rate_k6 = bench_knn(k=6)  # the CLI default knn_k=5 (+1 exclusion)
+    e2e = bench_e2e_detect()
     result = {
         "metric": "clip_vitb32_image_embeddings_per_sec_per_chip",
         "value": round(emb_rate, 1),
         "unit": "embeddings/s",
         "vs_baseline": round(emb_rate / 50_000.0, 4),
+        "text_embeddings_per_sec": round(txt_rate, 1),
         "knn_pairs_per_sec": round(knn_rate, 0),
         "knn_pairs_per_sec_k6": round(knn_rate_k6, 0),
+        **e2e,
         "backend": backend,
     }
     print(json.dumps(result))

@@ -24,6 +24,11 @@ class Precision:
     # LayerNorm always runs in fp32 regardless of compute dtype, matching the
     # fp16-safe LayerNorm semantics of CLIP (chexzero_clip.py:177-183).
     ln_dtype: jnp.dtype = jnp.float32
+    # Attention logits/softmax dtype. fp32 is the parity default; the bf16
+    # fast path keeps the whole softmax in bf16 (measured -16% attention
+    # stack time on v5e, BENCH_NOTES round 2; max-subtracted softmax is
+    # bf16-stable at CLIP's logit scales).
+    softmax_dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def fp32() -> "Precision":
@@ -31,7 +36,9 @@ class Precision:
 
     @staticmethod
     def bf16() -> "Precision":
-        return Precision(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+        return Precision(
+            param_dtype=jnp.float32, compute_dtype=jnp.bfloat16, softmax_dtype=jnp.bfloat16
+        )
 
 
 def default_precision() -> Precision:

@@ -78,10 +78,12 @@ class ClassificationSplit:
         return (self.y_clean != self.y_noisy).astype(np.int64)
 
     def subset(self, idx: np.ndarray) -> "ClassificationSplit":
+        from lemon_tpu.data.streaming import subset_images
+
         return ClassificationSplit(
             y_clean=self.y_clean[idx],
             y_noisy=self.y_noisy[idx],
-            images=None if self.images is None else self.images[idx],
+            images=subset_images(self.images, idx),
             paths=None if self.paths is None else [self.paths[i] for i in idx],
         )
 
@@ -105,10 +107,12 @@ class CaptioningSplit:
         return (self.sentence != self.gold_sentence).astype(np.int64)
 
     def subset(self, idx: np.ndarray) -> "CaptioningSplit":
+        from lemon_tpu.data.streaming import subset_images
+
         return CaptioningSplit(
             sentence=self.sentence[idx],
             gold_sentence=self.gold_sentence[idx],
-            images=None if self.images is None else self.images[idx],
+            images=subset_images(self.images, idx),
             paths=None if self.paths is None else [self.paths[i] for i in idx],
             sent_cluster=None if self.sent_cluster is None else self.sent_cluster[idx],
         )
@@ -224,8 +228,21 @@ def synthetic_classification(
     return _classification_triplet(images, y, noisy, tr, va, te)
 
 
-def synthetic_captioning(n: int = 400, image_size: int = 32, data_seed: int = 0, noise_level: float = 0.4, flip_type: str = "random"):
-    """Synthetic image-caption pairs with caption-swap noise."""
+def synthetic_captioning(
+    n: int = 400,
+    image_size: int = 32,
+    data_seed: int = 0,
+    noise_level: float = 0.4,
+    flip_type: str = "random",
+    backing: str = "ram",
+):
+    """Synthetic image-caption pairs with caption-swap noise.
+
+    ``backing='memmap'`` streams the images through on-disk .npy shards
+    (generated in chunks, cached under <data_root>/synthetic_stream) so
+    corpora far beyond RAM compose with the sharded kNN path; splits hold
+    lazy row views and host RSS stays bounded (round-1 verdict next-step 9).
+    """
     import pandas as pd
 
     rng = np.random.default_rng(data_seed)
@@ -243,7 +260,31 @@ def synthetic_captioning(n: int = 400, image_size: int = 32, data_seed: int = 0,
             for c in range(n_concepts)
         ]
     )
-    images = np.clip(templates[concept] + rng.normal(0, 10, (n, image_size, image_size, 3)), 0, 255).astype(np.uint8)
+
+    def gen_chunk(lo: int, hi: int) -> np.ndarray:
+        # per-chunk RNG keyed on the chunk start: identical images for any
+        # chunking, so ram/memmap backings agree bit-for-bit
+        crng = np.random.default_rng((data_seed, lo))
+        noise = crng.normal(0, 10, (hi - lo, image_size, image_size, 3))
+        return np.clip(templates[concept[lo:hi]] + noise, 0, 255).astype(np.uint8)
+
+    chunk = 8192
+    if backing == "memmap":
+        from lemon_tpu.data.streaming import ShardedUint8Store, ShardWriter
+
+        cache = data_root() / "synthetic_stream" / f"cap_n{n}_s{image_size}_seed{data_seed}"
+        if (cache / "manifest.json").exists():
+            images = ShardedUint8Store.open(cache)
+        else:
+            writer = ShardWriter(cache, shard_rows=chunk)
+            for lo in range(0, n, chunk):
+                writer.append(gen_chunk(lo, min(lo + chunk, n)))
+            images = writer.finish()
+        assert len(images) == n
+    else:
+        images = np.concatenate([gen_chunk(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)])
+
+    from lemon_tpu.data.streaming import subset_images
 
     df = pd.DataFrame({"sentence": sentences, "cat_labels": [[int(c)] for c in concept], "nouns_int": [[int(c)] for c in concept]})
     tr, va, te = split_80_10_10(n, data_seed)
@@ -260,7 +301,7 @@ def synthetic_captioning(n: int = 400, image_size: int = 32, data_seed: int = 0,
             CaptioningSplit(
                 sentence=noised["sentence"].to_numpy(),
                 gold_sentence=noised["gold_sentence"].to_numpy(),
-                images=images[idx],
+                images=subset_images(images, idx),
             )
         )
     return tuple(out)
@@ -366,7 +407,11 @@ def get_dataset(
     """(train, val, test) splits; dispatcher mirroring get_dataset
     (lib/datasets/utils.py:350-430)."""
     if name.startswith("synthetic_caption"):
-        return synthetic_captioning(synthetic_n, data_seed=data_seed, noise_level=noise_level, flip_type=noise_type if noise_type in ("random", "noun", "cat") else "random")
+        return synthetic_captioning(
+            synthetic_n, data_seed=data_seed, noise_level=noise_level,
+            flip_type=noise_type if noise_type in ("random", "noun", "cat") else "random",
+            backing="memmap" if name.endswith("_stream") else "ram",
+        )
     if name.startswith("synthetic"):
         return synthetic_classification(
             synthetic_n, data_seed=data_seed, noise_level=noise_level,

@@ -175,8 +175,16 @@ def _embedding_cache_key(cfg: DetectionConfig, encoder: ClipEncoder, split, text
             h.update(str(p).encode())
             h.update(b"\x01")
     else:
+        from lemon_tpu.data.streaming import is_lazy_store
+
         h.update(str(split.images.shape).encode())
-        h.update(np.ascontiguousarray(split.images).tobytes())
+        if is_lazy_store(split.images):
+            # Don't materialize an out-of-RAM store: a strided 64-row sample
+            # plus the shape is the fingerprint.
+            sample = split.images[np.linspace(0, len(split.images) - 1, min(64, len(split.images)), dtype=np.int64)]
+            h.update(np.ascontiguousarray(sample).tobytes())
+        else:
+            h.update(np.ascontiguousarray(split.images).tobytes())
     h.update(encoder.weights_fingerprint.encode())
     return f"{cfg.dataset}/{cfg.clip_model}/{tag}/{h.hexdigest()}"
 

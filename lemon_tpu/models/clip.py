@@ -25,6 +25,7 @@ this module's parameter pytree; outputs are parity-tested against
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -55,6 +56,13 @@ class ClipConfig:
     # QuickGELU (x * sigmoid(1.702 x)) is what OpenAI CLIP checkpoints use.
     quick_gelu: bool = True
     attention_impl: str = "xla"  # 'xla' | 'pallas'
+    # Pack P sequences per attention row with a block-diagonal mask.
+    # LN/MLP are per-token, so the whole transformer runs packed with exact
+    # semantics; at CLIP's short sequences (50/77 tokens) the per-head
+    # matmuls underfill the 128x128 MXU and packing 2 images (L=100) ran the
+    # attention inner ~4x faster on v5e (BENCH_NOTES round 2). Batches not
+    # divisible by P fall back to unpacked.
+    attention_pack: int = 2
     # timm-style ViT variations (BiomedCLIP's visual trunk): patch-embed
     # bias, no pre-LayerNorm.
     vision_patch_bias: bool = False
@@ -151,16 +159,37 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+@functools.lru_cache(maxsize=32)
+def _block_diag_mask_np(pack: int, seq: int, causal: bool) -> np.ndarray:
+    """(1, 1, pack*seq, pack*seq) additive mask: 0 inside each sequence's
+    diagonal block (upper-triangle -1e9 when causal), -1e9 across
+    sequences. -1e9 instead of -inf keeps bf16 softmax NaN-free."""
+    m = np.full((pack * seq, pack * seq), -1e9, np.float32)
+    for i in range(pack):
+        blk = np.triu(np.full((seq, seq), -1e9, np.float32), k=1) if causal else np.zeros((seq, seq), np.float32)
+        m[i * seq : (i + 1) * seq, i * seq : (i + 1) * seq] = blk
+    return m[None, None]
+
+
+def _block_diag_mask(pack: int, seq: int, causal: bool = False):
+    return jnp.asarray(_block_diag_mask_np(pack, seq, causal))
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with fused QKV.
 
     ``mask`` is an additive bias broadcastable to (B, H, L, L); None for the
-    vision tower, causal for the text tower.
+    unpacked vision tower, causal for the text tower, block-diagonal when
+    sequences are packed. ``causal`` routes the Pallas kernel (which
+    synthesizes its own causal mask); a non-causal additive mask always
+    takes the XLA path.
     """
 
     num_heads: int
     compute_dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
     impl: str = "xla"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -173,17 +202,17 @@ class Attention(nn.Module):
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
 
-        if self.impl == "pallas":
+        if self.impl == "pallas" and (mask is None or self.causal):
             from lemon_tpu.ops.attention import flash_attention
 
-            out = flash_attention(q, k, v, causal=mask is not None)
+            out = flash_attention(q, k, v, causal=self.causal)
         else:
             scale = hd ** -0.5
             logits = jnp.einsum(
-                "blhd,bmhd->bhlm", q * scale, k, preferred_element_type=jnp.float32
+                "blhd,bmhd->bhlm", q * scale, k, preferred_element_type=self.softmax_dtype
             )
             if mask is not None:
-                logits = logits + mask
+                logits = logits + mask.astype(logits.dtype)
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
@@ -195,7 +224,9 @@ class TransformerBlock(nn.Module):
     num_heads: int
     quick_gelu: bool = True
     compute_dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -204,7 +235,9 @@ class TransformerBlock(nn.Module):
         x = x + Attention(
             self.num_heads,
             compute_dtype=self.compute_dtype,
+            softmax_dtype=self.softmax_dtype,
             impl=self.attention_impl,
+            causal=self.causal,
             name="attn",
         )(FpLayerNorm(name="ln_1")(x), mask)
         y = FpLayerNorm(name="ln_2")(x)
@@ -219,7 +252,9 @@ class Transformer(nn.Module):
     num_heads: int
     quick_gelu: bool = True
     compute_dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -228,7 +263,9 @@ class Transformer(nn.Module):
                 self.num_heads,
                 quick_gelu=self.quick_gelu,
                 compute_dtype=self.compute_dtype,
+                softmax_dtype=self.softmax_dtype,
                 attention_impl=self.attention_impl,
+                causal=self.causal,
                 name=f"block_{i}",
             )(x, mask)
         return x
@@ -240,6 +277,7 @@ class VisionTower(nn.Module):
 
     cfg: ClipConfig
     compute_dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False):
@@ -282,14 +320,25 @@ class VisionTower(nn.Module):
         x = x + pos.astype(x.dtype)
         if cfg.vision_ln_pre:
             x = FpLayerNorm(name="ln_pre")(x)
+        seq = g * g + 1
+        pack = cfg.attention_pack if b % max(cfg.attention_pack, 1) == 0 else 1
+        if cfg.attention_impl == "pallas":
+            pack = 1  # the flash kernel can't consume a block-diagonal mask
+        mask = None
+        if pack > 1:
+            x = x.reshape(b // pack, pack * seq, w)
+            mask = _block_diag_mask(pack, seq)
         x = Transformer(
             cfg.vision_layers,
             cfg.v_heads,
             quick_gelu=cfg.quick_gelu,
             compute_dtype=self.compute_dtype,
+            softmax_dtype=self.softmax_dtype,
             attention_impl=cfg.attention_impl,
             name="transformer",
-        )(x)
+        )(x, mask)
+        if pack > 1:
+            x = x.reshape(b, seq, w)
         if return_tokens:
             return FpLayerNorm(name="ln_post")(x)
         x = FpLayerNorm(name="ln_post")(x[:, 0, :])
@@ -305,6 +354,7 @@ class TextTower(nn.Module):
 
     cfg: ClipConfig
     compute_dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tokens):
@@ -320,17 +370,29 @@ class TextTower(nn.Module):
         )
         x = x + pos[:l].astype(x.dtype)
 
-        causal = jnp.full((l, l), -jnp.inf, dtype=jnp.float32)
-        causal = jnp.triu(causal, k=1)[None, None, :, :]
+        pack = cfg.attention_pack if b % max(cfg.attention_pack, 1) == 0 else 1
+        # Pallas flash attention builds its own causal mask and can't see a
+        # packed block-diagonal one.
+        if cfg.attention_impl == "pallas":
+            pack = 1
+        if pack > 1:
+            x = x.reshape(b // pack, pack * l, w)
+            mask = _block_diag_mask(pack, l, causal=True)
+        else:
+            mask = _block_diag_mask(1, l, causal=True)
 
         x = Transformer(
             cfg.text_layers,
             cfg.text_heads,
             quick_gelu=cfg.quick_gelu,
             compute_dtype=self.compute_dtype,
+            softmax_dtype=self.softmax_dtype,
             attention_impl=cfg.attention_impl,
+            causal=True,
             name="transformer",
-        )(x, causal)
+        )(x, mask)
+        if pack > 1:
+            x = x.reshape(b, l, w)
         x = FpLayerNorm(name="ln_final")(x)
 
         # Pool at the first EOT: ids peak at the EOT token, and argmax
@@ -356,8 +418,16 @@ class ClipModel(nn.Module):
 
             self.visual = ResNetVisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
         else:
-            self.visual = VisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
-        self.text = TextTower(self.cfg, compute_dtype=self.precision.compute_dtype)
+            self.visual = VisionTower(
+                self.cfg,
+                compute_dtype=self.precision.compute_dtype,
+                softmax_dtype=self.precision.softmax_dtype,
+            )
+        self.text = TextTower(
+            self.cfg,
+            compute_dtype=self.precision.compute_dtype,
+            softmax_dtype=self.precision.softmax_dtype,
+        )
         self.logit_scale = self.param(
             "logit_scale",
             lambda key, shape: jnp.full(shape, np.log(1 / 0.07), jnp.float32),
