@@ -154,24 +154,29 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int):
     n_tiles = n // tile
     db_sqnorm = jnp.sum(xb * xb, axis=1) if metric == "l2" else None
 
-    init_scores = jnp.full((xq.shape[0], k), _NEG_INF, jnp.float32)
-    init_idx = jnp.full((xq.shape[0], k), n, jnp.int32)
+    if n_tiles == 1:
+        # Single tile: no merge needed — measured +45% at (16k queries,
+        # 64k db, k=51) over the scan path (BENCH_NOTES round 2).
+        s = _scores_block(xq, xb, metric, db_sqnorm)
+        return _tile_topk(s, 0, k, n_valid)
 
-    def step(carry, t):
-        run_s, run_i = carry
+    def step(_, t):
         start = t * tile
         db = jax.lax.dynamic_slice_in_dim(xb, start, tile, 0)
         s = _scores_block(xq, db, metric, None if db_sqnorm is None else jax.lax.dynamic_slice_in_dim(db_sqnorm, start, tile, 0))
-        tile_s, tile_i = _tile_topk(s, start, k, n_valid)
-        # Earlier-index entries come first in the concat, and lax.top_k
-        # keeps the first occurrence among ties -> ascending-index tiebreak.
-        cat_s = jnp.concatenate([run_s, tile_s], axis=1)
-        cat_i = jnp.concatenate([run_i, tile_i], axis=1)
-        new_s, pos = jax.lax.top_k(cat_s, k)
-        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        return (new_s, new_i), None
+        return None, _tile_topk(s, start, k, n_valid)
 
-    (scores, idx), _ = jax.lax.scan(step, (init_scores, init_idx), jnp.arange(n_tiles))
+    # Collect every tile's top-k, then ONE wide merge instead of a
+    # (k + k)-wide top_k per tile: tile-major candidate order is ascending
+    # database index, and within a tile _tile_topk already breaks ties by
+    # ascending index, so lax.top_k's first-occurrence rule preserves the
+    # FAISS tiebreak.
+    _, (all_s, all_i) = jax.lax.scan(step, None, jnp.arange(n_tiles))
+    b = xq.shape[0]
+    cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_tiles * k)
+    cat_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_tiles * k)
+    scores, pos = jax.lax.top_k(cat_s, k)
+    idx = jnp.take_along_axis(cat_i, pos, axis=1)
     return scores, idx
 
 
