@@ -1,0 +1,108 @@
+"""Isolated kNN stage costs on the real TPU (round-2: where exactly does
+the non-matmul time go, stage by stage, not cumulatively).
+
+probe_knn.py measures cumulative pipelines; this isolates:
+  - jax.lax.top_k on the (B, 512) blockmax matrix (k=51)
+  - jax.lax.top_k on the (B, 6528) candidate matrix (k=51)
+  - candidate gather take_along_axis
+  - matmul alone vs matmul+blockmax (is the reduce fused by XLA?)
+
+Run: python benchmarks/probe_knn2.py  (one TPU process at a time)
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+B, T, D, K = 16384, 65536, 512, 51
+_BLOCK = 128
+N_BLOCKS = T // _BLOCK
+
+
+def timed_scalar(fn, *args):
+    t0 = time.perf_counter()
+    out = float(fn(*args))
+    assert np.isfinite(out), out
+    return time.perf_counter() - t0
+
+
+def two_point(fn, small_args, large_args, n_small, n_large):
+    f = jax.jit(fn)
+    timed_scalar(f, *small_args)
+    timed_scalar(f, *large_args)
+    t_small = min(timed_scalar(f, *small_args) for _ in range(3))
+    t_large = min(timed_scalar(f, *large_args) for _ in range(3))
+    return (t_large - t_small) / (n_large - n_small)  # seconds per row
+
+
+def report(name, per_row):
+    # normalize to the (B, T) tile the production search processes
+    ns_per_pair = per_row / T * 1e9
+    print(f"{name:28s}: {per_row*1e6:9.2f} us/row  {ns_per_pair:7.4f} ns/pair  ({T/per_row/1e9:6.2f} B pairs/s-equiv)", flush=True)
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    hp = jax.lax.Precision.HIGHEST
+
+    xb = jnp.asarray(rng.standard_normal((T, D)).astype(np.float32))
+    q_s = jnp.asarray(rng.standard_normal((1024, D)).astype(np.float32))
+    q_l = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    bmax_s = jnp.asarray(rng.standard_normal((1024, N_BLOCKS)).astype(np.float32))
+    bmax_l = jnp.asarray(rng.standard_normal((B, N_BLOCKS)).astype(np.float32))
+
+    cand_s = jnp.asarray(rng.standard_normal((1024, K * _BLOCK)).astype(np.float32))
+    cand_l = jnp.asarray(rng.standard_normal((B, K * _BLOCK)).astype(np.float32))
+
+    sb_s = jnp.asarray(rng.standard_normal((1024, N_BLOCKS, _BLOCK)).astype(np.float32))
+    sb_l = jnp.asarray(rng.standard_normal((B, N_BLOCKS, _BLOCK)).astype(np.float32))
+    bid_s = jnp.asarray(np.sort(rng.integers(0, N_BLOCKS, (1024, K)), axis=1).astype(np.int32))
+    bid_l = jnp.asarray(np.sort(rng.integers(0, N_BLOCKS, (B, K)), axis=1).astype(np.int32))
+
+    def mm(q, db):
+        s = jnp.dot(q, db.T, preferred_element_type=jnp.float32, precision=hp)
+        return jnp.sum(s[:, ::512])
+
+    report("matmul only", two_point(mm, (q_s, xb), (q_l, xb), 1024, B))
+
+    def mm_bmax(q, db):
+        s = jnp.dot(q, db.T, preferred_element_type=jnp.float32, precision=hp)
+        bm = jnp.max(s.reshape(q.shape[0], N_BLOCKS, _BLOCK), axis=2)
+        return jnp.sum(bm) + jnp.sum(s[:, ::512])
+
+    report("matmul + blockmax", two_point(mm_bmax, (q_s, xb), (q_l, xb), 1024, B))
+
+    def btopk(bm):
+        s, i = jax.lax.top_k(bm, K)
+        return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
+
+    report("top_k (B,512) k=51", two_point(btopk, (bmax_s,), (bmax_l,), 1024, B))
+
+    def ctopk(c):
+        s, i = jax.lax.top_k(c, K)
+        return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
+
+    report("top_k (B,6528) k=51", two_point(ctopk, (cand_s,), (cand_l,), 1024, B))
+
+    def sort_ids(bm):
+        _, i = jax.lax.top_k(bm, K)
+        return jnp.sum(jnp.sort(i, axis=1)).astype(jnp.float32)
+
+    report("btopk + sort ids", two_point(sort_ids, (bmax_s,), (bmax_l,), 1024, B))
+
+    def gather(sb, bid):
+        cand = jnp.take_along_axis(sb, bid[:, :, None], axis=1)
+        return jnp.sum(cand)
+
+    report("candidate gather", two_point(gather, (sb_s, bid_s), (sb_l, bid_l), 1024, B))
+
+
+if __name__ == "__main__":
+    main()

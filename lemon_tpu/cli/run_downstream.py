@@ -34,6 +34,8 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--freeze_backbone", action="store_true")
     p.add_argument("--lora", action="store_true", help="captioning: train LoRA adapters only")
+    p.add_argument("--captioner_arch", default="git", choices=["git", "blip2"],
+                   help="captioning: GIT-style prefix model or BLIP-2-faithful Q-Former")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_seed", type=int, default=0)
     p.add_argument("--platform", default=None)
@@ -89,9 +91,11 @@ def main(argv=None):
               f"worst-group {results['test']['worst_group_accuracy']:.4f}")
     else:
         from lemon_tpu.models.captioner import CaptionerConfig
+        from lemon_tpu.models.qformer import QFormerConfig
         from lemon_tpu.train.captioning import CaptionTrainConfig, train_captioner
 
-        mc = CaptionerConfig.tiny() if args.model_size == "tiny" else CaptionerConfig.base()
+        cfg_cls = QFormerConfig if args.captioner_arch == "blip2" else CaptionerConfig
+        mc = cfg_cls.tiny() if args.model_size == "tiny" else cfg_cls.base()
         if args.lora:
             import dataclasses
 

@@ -6,6 +6,12 @@ the filesystem (``done`` => DONE, ``job_id`` + live squeue => RUNNING,
 partial output => INCOMPLETE); ``launch`` starts everything not done,
 ``delete_incomplete`` clears crashed runs for relaunch.
 
+Beyond the reference (which relaunches crashed jobs only when sweep.py is
+re-invoked by hand): ``daemon`` keeps polling and relaunching until every
+job is DONE, with a persisted per-job retry budget — a job that crashes
+``--retry_budget`` times is marked FAILED and left for inspection instead
+of being relaunched forever.
+
 Usage:
     python -m lemon_tpu.cli.sweep launch --experiment synthetic_smoke \
         --output_root out/sweeps --command_launcher local
@@ -31,6 +37,7 @@ class JobState:
     INCOMPLETE = "incomplete"
     RUNNING = "running"
     DONE = "done"
+    FAILED = "failed"  # incomplete with retry budget exhausted (daemon mode)
 
 
 class Job:
@@ -57,7 +64,7 @@ class Job:
                 parts.append(str(val))
         return " ".join(shlex.quote(p) for p in parts)
 
-    def state(self, live_job_ids=None) -> str:
+    def state(self, live_job_ids=None, retry_budget=None) -> str:
         if (self.output_dir / "done").exists():
             return JobState.DONE
         job_id_file = self.output_dir / "job_id"
@@ -65,8 +72,28 @@ class Job:
             if job_id_file.read_text().strip() in live_job_ids:
                 return JobState.RUNNING
         if self.output_dir.exists():
+            if retry_budget is not None and self.attempts >= retry_budget:
+                return JobState.FAILED
             return JobState.INCOMPLETE
         return JobState.NOT_LAUNCHED
+
+    @property
+    def attempts(self) -> int:
+        """Launch count, persisted in the run dir (survives re-invocation).
+
+        Capability upgrade over the reference, whose sweep.py relaunches
+        crashed jobs unconditionally on every re-invocation (sweep.py:56-72)
+        with no memory of how often a job has already failed.
+        """
+        f = self.output_dir / "attempts"
+        try:
+            return int(f.read_text().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def record_attempt(self) -> None:
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "attempts").write_text(str(self.attempts + 1))
 
     def delete(self) -> None:
         if self.output_dir.exists():
@@ -91,22 +118,83 @@ def build_jobs(experiment: str, output_root: Path) -> List[Job]:
     return [Job(exp.get_script_name(), hp, output_root) for hp in exp.get_hparams()]
 
 
-def summarize(jobs: List[Job]) -> Dict[str, int]:
+def summarize(jobs: List[Job], retry_budget=None) -> Dict[str, int]:
     live = _live_slurm_ids()
     counts: Dict[str, int] = {}
     for job in jobs:
-        counts[job.state(live)] = counts.get(job.state(live), 0) + 1
+        s = job.state(live, retry_budget)
+        counts[s] = counts.get(s, 0) + 1
     return counts
+
+
+def _launch(jobs: List[Job], launcher_name: str, max_slurm_jobs: int, slurm_pre: str) -> None:
+    for j in jobs:
+        j.record_attempt()
+    commands = [(j.command, str(j.output_dir)) for j in jobs]
+    launcher = launchers.REGISTRY[launcher_name]
+    if launcher_name == "slurm":
+        launcher(commands, max_slurm_jobs=max_slurm_jobs, slurm_pre=slurm_pre)
+    else:
+        launcher(commands)
+
+
+def run_daemon(
+    jobs: List[Job],
+    launcher_name: str,
+    *,
+    retry_budget: int = 3,
+    poll_interval: float = 30.0,
+    max_rounds: int | None = None,
+    max_slurm_jobs: int = 400,
+    slurm_pre: str = "",
+) -> Dict[str, int]:
+    """Auto-relaunch loop (ROADMAP round-2 item): keep the sweep moving
+    without manual re-invocation.
+
+    Each round relaunches every NOT_LAUNCHED/INCOMPLETE job that still has
+    retry budget; jobs whose budget is exhausted become FAILED and are left
+    alone. Exits when every job is DONE or FAILED (or after ``max_rounds``).
+    Returns the final state counts.
+    """
+    import time
+
+    rounds = 0
+    while True:
+        live = _live_slurm_ids()
+        states = [(j, j.state(live, retry_budget)) for j in jobs]
+        counts: Dict[str, int] = {}
+        for _, s in states:
+            counts[s] = counts.get(s, 0) + 1
+        print(f"daemon round {rounds}: {counts}", flush=True)
+        pending = [
+            j for j, s in states
+            if s in (JobState.NOT_LAUNCHED, JobState.INCOMPLETE)
+        ]
+        if not pending and counts.get(JobState.RUNNING, 0) == 0:
+            return counts
+        if max_rounds is not None and rounds >= max_rounds:
+            return counts
+        if pending:
+            _launch(pending, launcher_name, max_slurm_jobs, slurm_pre)
+        rounds += 1
+        if poll_interval:
+            time.sleep(poll_interval)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="lemon_tpu sweep")
-    parser.add_argument("command", choices=["launch", "status", "delete_incomplete", "delete_all"])
+    parser.add_argument("command", choices=["launch", "daemon", "status", "delete_incomplete", "delete_all"])
     parser.add_argument("--experiment", required=True)
     parser.add_argument("--output_root", default="out/sweeps")
     parser.add_argument("--command_launcher", default="local", choices=sorted(launchers.REGISTRY))
     parser.add_argument("--max_slurm_jobs", type=int, default=400)
     parser.add_argument("--slurm_pre", default="")
+    parser.add_argument("--retry_budget", type=int, default=3,
+                        help="daemon: max launches per job before marking it failed")
+    parser.add_argument("--poll_interval", type=float, default=30.0,
+                        help="daemon: seconds between relaunch rounds")
+    parser.add_argument("--max_rounds", type=int, default=None,
+                        help="daemon: stop after this many rounds (default: run to completion)")
     parser.add_argument("--yes", action="store_true", help="skip confirmation")
     args = parser.parse_args(argv)
 
@@ -134,21 +222,27 @@ def main(argv=None):
         print(f"deleted {len(targets)}")
         return
 
+    if args.command == "daemon":
+        counts = run_daemon(
+            jobs,
+            args.command_launcher,
+            retry_budget=args.retry_budget,
+            poll_interval=args.poll_interval,
+            max_rounds=args.max_rounds,
+            max_slurm_jobs=args.max_slurm_jobs,
+            slurm_pre=args.slurm_pre,
+        )
+        print(f"daemon finished: {counts}")
+        return
+
     live = _live_slurm_ids()
     to_launch = [j for j in jobs if j.state(live) in (JobState.NOT_LAUNCHED, JobState.INCOMPLETE)]
     if not args.yes and len(to_launch) > 20:
         reply = input(f"launch {len(to_launch)} jobs with '{args.command_launcher}'? [y/N] ")
         if reply.lower() != "y":
             return
-    for j in to_launch:
-        j.output_dir.mkdir(parents=True, exist_ok=True)
-    commands = [(j.command, str(j.output_dir)) for j in to_launch]
-    launcher = launchers.REGISTRY[args.command_launcher]
-    if args.command_launcher == "slurm":
-        launcher(commands, max_slurm_jobs=args.max_slurm_jobs, slurm_pre=args.slurm_pre)
-    else:
-        launcher(commands)
-    print(f"launched {len(commands)} jobs")
+    _launch(to_launch, args.command_launcher, args.max_slurm_jobs, args.slurm_pre)
+    print(f"launched {len(to_launch)} jobs")
 
 
 if __name__ == "__main__":

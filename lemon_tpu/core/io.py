@@ -95,3 +95,51 @@ def env_banner() -> str:
         f"\tNode: {os.uname().nodename}",
     ]
     return "\n".join(lines)
+
+
+class EarlyStopping:
+    """Track the best validation metric and signal when patience runs out.
+
+    Shared utility consolidating the inline early-stop loops of the
+    trainers (reference: lib/utils/utils.py:56-88 EarlyStopping; used by
+    downstream_captioning.py:268-270 and the classification trainer's
+    best-acc loop).
+
+    >>> es = EarlyStopping(patience=3, mode="max")
+    >>> for epoch in range(n):
+    ...     if es.step(val_acc, params):  # True => new best, payload kept
+    ...         ...
+    ...     if es.should_stop:
+    ...         break
+    >>> best_params, best_metric = es.best_payload, es.best
+    """
+
+    def __init__(self, patience: int, mode: str = "max"):
+        assert mode in ("max", "min")
+        self.patience = patience
+        self.mode = mode
+        self.best = -np.inf if mode == "max" else np.inf
+        self.best_payload = None
+        self.since_best = 0
+
+    def seed(self, metric, payload) -> None:
+        """Set the starting best without consuming patience (e.g. the
+        untrained params, so an entirely non-improving run still returns
+        a payload)."""
+        self.best = metric
+        self.best_payload = payload
+        self.since_best = 0
+
+    def step(self, metric, payload=None) -> bool:
+        improved = metric > self.best if self.mode == "max" else metric < self.best
+        if improved:
+            self.best = metric
+            self.best_payload = payload
+            self.since_best = 0
+        else:
+            self.since_best += 1
+        return improved
+
+    @property
+    def should_stop(self) -> bool:
+        return self.since_best >= self.patience

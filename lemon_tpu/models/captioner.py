@@ -210,7 +210,12 @@ class CaptioningModel(nn.Module):
 
 
 def init_captioner(cfg: CaptionerConfig, seed: int = 0):
-    model = CaptioningModel(cfg)
+    """Build the captioner matching the config type: a ``QFormerConfig``
+    selects the BLIP-2-faithful architecture (models/qformer.py), a plain
+    ``CaptionerConfig`` the GIT-style prefix model."""
+    from lemon_tpu.models.qformer import QFormerCaptioner, QFormerConfig
+
+    model = (QFormerCaptioner if isinstance(cfg, QFormerConfig) else CaptioningModel)(cfg)
     pixels = jnp.zeros((1, cfg.vision.image_resolution, cfg.vision.image_resolution, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.max_text_len), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), pixels, tokens)

@@ -41,6 +41,9 @@ except ImportError:  # pragma: no cover
 
 try:
     import ftfy as _ftfy
+
+    if not hasattr(_ftfy, "fix_text"):  # a stubbed module is as good as none
+        _ftfy = None
 except ImportError:  # pragma: no cover
     _ftfy = None
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lemon_tpu.core.io import json_default
+from lemon_tpu.core.io import EarlyStopping, json_default
 from lemon_tpu.data.datasets import CaptioningSplit, iter_batches, load_images
 from lemon_tpu.models.captioner import CaptionerConfig, CaptioningModel, init_captioner, lora_trainable_mask
 from lemon_tpu.models.tokenizer import get_tokenizer, tokenize_batch
@@ -131,7 +131,8 @@ def train_captioner(
         return float(np.mean(vals))
 
     rng = np.random.default_rng(cfg.seed)
-    best_val, best_params, since_best = np.inf, params, 0
+    es = EarlyStopping(patience=cfg.es_patience, mode="min")
+    es.seed(np.inf, params)  # any real val loss beats the placeholder
     t0 = time.time()
     for epoch in range(cfg.epochs):
         order = rng.permutation(len(train))
@@ -144,13 +145,11 @@ def train_captioner(
             losses.append(float(loss))
         vl = val_loss(params)
         print(f"epoch {epoch}: train_loss {np.mean(losses):.4f} val_loss {vl:.4f}")
-        if vl < best_val:
-            best_val, best_params, since_best = vl, params, 0
-        else:
-            since_best += 1
-            if since_best >= cfg.es_patience:
-                print(f"early stop at epoch {epoch}")
-                break
+        es.step(vl, params)
+        if es.should_stop:
+            print(f"early stop at epoch {epoch}")
+            break
+    best_params, best_val = es.best_payload, es.best
     runtime = time.time() - t0
 
     # generate test captions
@@ -172,6 +171,14 @@ def train_captioner(
             generated.append(tok.decode(ids).strip() if mc.vocab_size >= 49408 else " ".join(map(str, ids)))
 
     results = {"val_loss_best": best_val, "runtime_s": runtime, "n_train": len(train)}
+    # Loss-based detection mode (downstream_captioning.py:51-79): the
+    # trained captioner's per-sample LM loss is itself a mislabel score.
+    det_scores = per_sample_caption_losses(model, best_params, test, cfg)
+    flips = np.asarray(test.is_mislabel).astype(int)
+    if 0 < flips.sum() < len(flips):
+        from lemon_tpu.scoring.metrics import prob_metrics
+
+        results["test_loss_detection_AUROC"] = float(prob_metrics(flips, det_scores)["AUROC"])
     if out_dir is not None:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
@@ -179,6 +186,7 @@ def train_captioner(
             pickle.dump({"generated": generated, "gold": list(test.gold_sentence), "noisy": list(test.sentence)}, f)
         with open(out_dir / "flip_labels.pkl", "wb") as f:
             pickle.dump(test.is_mislabel, f)
+        np.save(out_dir / "detection_scores.npy", det_scores)
         (out_dir / "results.json").write_text(json.dumps(results, default=json_default))
         (out_dir / "done").write_text("done")
     results["generated"] = generated

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lemon_tpu.core.io import EarlyStopping
 from lemon_tpu.data.datasets import ClassificationSplit, iter_batches, load_images
 from lemon_tpu.models.classifier import classification_loss, init_classifier
 from lemon_tpu.models.clip import ClipConfig
@@ -123,7 +124,8 @@ def train_downstream(
         return probs, pred_y, (pred_y == split.y_clean).mean()
 
     rng = np.random.default_rng(cfg.seed)
-    best_val, best_params, since_best = -1.0, params, 0
+    es = EarlyStopping(patience=cfg.es_patience, mode="max")
+    es.seed(-1.0, params)  # any real val_acc beats the placeholder
     t0 = time.time()
     for epoch in range(cfg.epochs):
         losses = []
@@ -133,16 +135,14 @@ def train_downstream(
             assert np.isfinite(losses[-1])
         _, _, val_acc = eval_split(params, splits["val"])
         print(f"epoch {epoch}: loss {np.mean(losses):.4f} val_acc {val_acc:.4f}")
-        if val_acc > best_val:
-            best_val, best_params, since_best = val_acc, params, 0
-        else:
-            since_best += 1
-            if since_best >= cfg.es_patience:
-                print(f"early stop at epoch {epoch} (best val_acc {best_val:.4f})")
-                break
+        es.step(val_acc, params)
+        if es.should_stop:
+            print(f"early stop at epoch {epoch} (best val_acc {es.best:.4f})")
+            break
+    best_params = es.best_payload
     runtime = time.time() - t0
 
-    results = {"val_acc_best": best_val, "runtime_s": runtime}
+    results = {"val_acc_best": es.best, "runtime_s": runtime}
     for sname in ("val", "test"):
         split = splits[sname]
         probs, pred_y, acc = eval_split(best_params, split)

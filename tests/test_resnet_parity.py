@@ -27,16 +27,23 @@ def ref_clip_module():
     if not os.path.exists(REFERENCE):
         pytest.skip("reference tree not mounted")
     # chexzero_clip imports the BPE tokenizer, which needs ftfy/regex; the
-    # model classes don't, so stub the missing deps.
-    sys.modules.setdefault("ftfy", types.ModuleType("ftfy"))
+    # model classes don't, so stub the missing deps — but only for the
+    # duration of the import: a bare fake ftfy left in sys.modules breaks
+    # transformers' CLIPTokenizer (it does `ftfy.fix_text`) in later tests.
     import re
 
-    sys.modules.setdefault("regex", re)
+    added = []
+    for name, mod in (("ftfy", types.ModuleType("ftfy")), ("regex", re)):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            added.append(name)
     sys.path.insert(0, "/root/reference")
     try:
         return importlib.import_module("lib.models.chexzero_clip")
     finally:
         sys.path.remove("/root/reference")
+        for name in added:
+            del sys.modules[name]
 
 
 @pytest.fixture(scope="module")

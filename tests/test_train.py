@@ -123,3 +123,21 @@ def test_phase_timer():
         pass
     d = t.as_dict()
     assert set(d) == {"a", "b"} and all(v >= 0 for v in d.values())
+
+
+def test_early_stopping_utility():
+    from lemon_tpu.core.io import EarlyStopping
+
+    es = EarlyStopping(patience=2, mode="max")
+    es.seed(-1.0, "init")
+    assert es.step(0.5, "a") and es.best_payload == "a"
+    assert not es.step(0.4, "b") and es.best_payload == "a"
+    assert not es.should_stop
+    assert not es.step(0.3, "c")
+    assert es.should_stop and es.best == 0.5
+
+    es = EarlyStopping(patience=1, mode="min")
+    es.seed(float("inf"), "init")
+    assert es.best_payload == "init" and not es.should_stop
+    assert not es.step(float("inf"), "worse")  # non-improving inf keeps seed
+    assert es.best_payload == "init" and es.should_stop
