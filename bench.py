@@ -128,7 +128,7 @@ def bench_e2e_detect(n: int = 20_000) -> dict:
     return {"e2e_detect_20k_seconds": round(wall, 1), "e2e_detect_20k_test_auroc": round(float(auroc), 4)}
 
 
-def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int = 16384) -> float:
+def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int = 16384, precision: str = "highest") -> float:
     """Worst-case k (the paper sweeps k up to 50; +1 for self-exclusion)."""
     import jax.numpy as jnp
 
@@ -142,16 +142,20 @@ def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 102
 
     import jax
 
-    from lemon_tpu.knn.index import auto_tile
+    from lemon_tpu.knn.index import auto_tile, use_pallas_knn
 
     tile = auto_tile(n_db, q_large)
+    pallas = use_pallas_knn()
     xb_dev = jnp.asarray(xb)  # _tiled_search pads internally
 
     # the database is an argument (a closure would bake it into the HLO as
     # a constant, which the remote-compile service rejects for large arrays)
     @jax.jit
     def run(xq_dev, xb_arg):
-        scores, idx = _tiled_search(xq_dev, xb_arg, k=k, metric="ip", tile=tile, n_valid=n_db)
+        scores, idx = _tiled_search(
+            xq_dev, xb_arg, k=k, metric="ip", tile=tile, n_valid=n_db,
+            use_pallas=pallas, precision=precision,
+        )
         return jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32)
 
     small = jnp.asarray(xq[:q_small])
@@ -171,6 +175,7 @@ def main():
     txt_rate = bench_text_embeddings()
     knn_rate = bench_knn()
     knn_rate_k6 = bench_knn(k=6)  # the CLI default knn_k=5 (+1 exclusion)
+    knn_rate_fast = bench_knn(precision="high")  # opt-in bf16x3 scores
     e2e = bench_e2e_detect()
     result = {
         "metric": "clip_vitb32_image_embeddings_per_sec_per_chip",
@@ -180,6 +185,7 @@ def main():
         "text_embeddings_per_sec": round(txt_rate, 1),
         "knn_pairs_per_sec": round(knn_rate, 0),
         "knn_pairs_per_sec_k6": round(knn_rate_k6, 0),
+        "knn_pairs_per_sec_bf16x3": round(knn_rate_fast, 0),
         **e2e,
         "backend": backend,
     }

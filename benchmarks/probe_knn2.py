@@ -48,23 +48,34 @@ def report(name, per_row):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    rng = np.random.default_rng(0)
     hp = jax.lax.Precision.HIGHEST
 
-    xb = jnp.asarray(rng.standard_normal((T, D)).astype(np.float32))
-    q_s = jnp.asarray(rng.standard_normal((1024, D)).astype(np.float32))
-    q_l = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    # Generate everything on-device: host->device of multi-GB arrays through
+    # the tunnel takes minutes (memory: tpu-tunnel-quirks).
+    def dev_normal(key, shape):
+        return jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32), static_argnums=())(jax.random.PRNGKey(key))
 
-    bmax_s = jnp.asarray(rng.standard_normal((1024, N_BLOCKS)).astype(np.float32))
-    bmax_l = jnp.asarray(rng.standard_normal((B, N_BLOCKS)).astype(np.float32))
+    xb = dev_normal(0, (T, D))
+    q_s = dev_normal(1, (1024, D))
+    q_l = dev_normal(2, (B, D))
 
-    cand_s = jnp.asarray(rng.standard_normal((1024, K * _BLOCK)).astype(np.float32))
-    cand_l = jnp.asarray(rng.standard_normal((B, K * _BLOCK)).astype(np.float32))
+    bmax_s = dev_normal(3, (1024, N_BLOCKS))
+    bmax_l = dev_normal(4, (B, N_BLOCKS))
 
-    sb_s = jnp.asarray(rng.standard_normal((1024, N_BLOCKS, _BLOCK)).astype(np.float32))
-    sb_l = jnp.asarray(rng.standard_normal((B, N_BLOCKS, _BLOCK)).astype(np.float32))
-    bid_s = jnp.asarray(np.sort(rng.integers(0, N_BLOCKS, (1024, K)), axis=1).astype(np.int32))
-    bid_l = jnp.asarray(np.sort(rng.integers(0, N_BLOCKS, (B, K)), axis=1).astype(np.int32))
+    cand_s = dev_normal(5, (1024, K * _BLOCK))
+    cand_l = dev_normal(6, (B, K * _BLOCK))
+
+    sb_s = dev_normal(7, (1024, N_BLOCKS, _BLOCK))
+    sb_l = dev_normal(8, (B, N_BLOCKS, _BLOCK))
+
+    def dev_ids(key, rows):
+        f = jax.jit(lambda k: jnp.sort(jax.random.randint(k, (rows, K), 0, N_BLOCKS, jnp.int32), axis=1))
+        return f(jax.random.PRNGKey(key))
+
+    bid_s = dev_ids(9, 1024)
+    bid_l = dev_ids(10, B)
+    for a in (xb, q_l, bmax_l, cand_l, sb_l, bid_l):
+        a.block_until_ready()
 
     def mm(q, db):
         s = jnp.dot(q, db.T, preferred_element_type=jnp.float32, precision=hp)

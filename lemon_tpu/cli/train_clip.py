@@ -39,6 +39,8 @@ def build_parser():
     p.add_argument("--cc3m_filtering_n", type=int, default=-1)
     p.add_argument("--platform", default=None)
     p.add_argument("--mesh", default=None, help="DATAxMODEL, e.g. 8x1")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in output_dir/ckpt")
     p.add_argument("--synthetic_n", type=int, default=600)
     p.add_argument("--model_size", default="vit_b16", choices=["vit_b16", "vit_b32", "tiny"])
     return p
@@ -105,8 +107,9 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        from lemon_tpu.core.mesh import get_mesh
+        from lemon_tpu.core.mesh import distributed_init, get_mesh
 
+        distributed_init()  # no-op single-host; coordinator via env on pods
         d, m = args.mesh.lower().split("x")
         mesh = get_mesh(int(d), int(m))
 
@@ -118,7 +121,8 @@ def main(argv=None):
     model, state = create_train_state(model_cfg, tcfg, mesh=mesh)
     batches = batch_iterator(train, model_cfg.context_length, args.batch_size,
                              model_cfg.image_resolution, args.seed)
-    train_loop(model, state, batches, tcfg, mesh=mesh, ckpt_dir=out_dir / "ckpt")
+    train_loop(model, state, batches, tcfg, mesh=mesh, ckpt_dir=out_dir / "ckpt",
+               resume=args.resume)
     mark_done(out_dir)
 
 

@@ -71,3 +71,32 @@ def shard_batch(x, mesh: Mesh):
         x = np.pad(np.asarray(x), pad_width)
     sharded = jax.device_put(x, data_sharding(mesh, x.ndim))
     return sharded, n
+
+
+def distributed_init() -> bool:
+    """Initialize ``jax.distributed`` for multi-host runs (ROADMAP #8).
+
+    Reads the standard coordinator env vars (JAX auto-detects on Cloud TPU
+    pods; Slurm multi-node runs set LEMON_TPU_COORDINATOR explicitly:
+    ``host:port`` plus SLURM_NTASKS/SLURM_PROCID). No-op — returning False
+    — on single-host runs, so callers can invoke it unconditionally.
+    Required before building a multi-host mesh or multi-host orbax
+    checkpointing (train/contrastive.py:CheckpointWriter).
+    """
+    import os
+
+    coord = os.environ.get("LEMON_TPU_COORDINATOR")
+    in_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if coord is None and not in_pod:
+        return False
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return True
+    if coord is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ.get("SLURM_NTASKS", os.environ.get("LEMON_TPU_NUM_PROCS", "1"))),
+            process_id=int(os.environ.get("SLURM_PROCID", os.environ.get("LEMON_TPU_PROC_ID", "0"))),
+        )
+    else:
+        jax.distributed.initialize()
+    return True

@@ -1,0 +1,181 @@
+"""Pallas fused kNN score matmul + validity mask + 128-lane blockmax.
+
+The exact-kNN hot loop needs, per (query block, DB tile): the fp32 score
+block (kept for the candidate gather) and its per-128-column block
+maxima (the blockmax prefilter input, knn/index.py:_tile_topk). Through
+XLA these are two HBM passes — the matmul materializes the (B, T) block,
+then the reduce reads all of it back (measured: matmul 0.033 ns/pair,
++blockmax 0.062; benchmarks/probe_knn2.py). This kernel emits both in one
+pass while the score tile is still in VMEM, and also applies the
+``n_valid`` column mask (padding columns to -inf) so the caller's masking
+pass disappears too.
+
+Score semantics are bit-identical to knn/index.py:_scores_block: fp32
+matmul at HIGHEST precision; 'l2' keeps the reference op order
+``-((q_sq - 2*ip) + db_sq)`` (negated squared distance, 'higher is
+better'). FAISS-role component (run_lemon.py:166-177).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = np.float32(-np.inf)
+_LANES = 128
+
+
+def _dot_t(a, b, precision):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, metric, tile_cols, n_valid, precision):
+    j = pl.program_id(1)
+    n_bmax_lanes = bmax_ref.shape[1]
+    if precision == "high":
+        # bf16x3: Mosaic can't lower Precision.HIGH, so decompose manually.
+        # x = hi + lo with hi = bf16(x); the lo*lo cross term is below fp32
+        # ulp for these magnitudes (max score err 3.5e-6 measured on
+        # unit-norm embeddings). 3 bf16 MXU passes vs HIGHEST's 6.
+        q = q_ref[:]
+        db = db_ref[:]
+        q_hi = q.astype(jnp.bfloat16)
+        db_hi = db.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        db_lo = (db - db_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = jax.lax.Precision.DEFAULT
+        ip = _dot_t(q_hi, db_hi, d) + (_dot_t(q_hi, db_lo, d) + _dot_t(q_lo, db_hi, d))
+    else:
+        ip = _dot_t(q_ref[:], db_ref[:], jax.lax.Precision.HIGHEST)
+    if metric == "l2":
+        s = -((qsq_ref[:] - 2.0 * ip) + dbsq_ref[:])
+    else:
+        s = ip
+    bm = s.shape[0]
+    col = start_ref[0, 0] + j * tile_cols + jax.lax.broadcasted_iota(jnp.int32, (bm, tile_cols), 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    s_ref[:] = s
+    parts = [
+        jnp.max(s[:, c * _LANES : (c + 1) * _LANES], axis=1, keepdims=True)
+        for c in range(tile_cols // _LANES)
+    ]
+    bmax = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    # The bmax output block is the full (block_rows, T/128) row strip,
+    # resident in VMEM across the j sweep (same block index for every j).
+    # Mosaic forbids dynamic lane stores at non-128 offsets, so each j
+    # places its tile_cols/128 lanes by rolling a -inf-padded strip into
+    # position and max-merging — full-strip aligned stores only.
+    n = tile_cols // _LANES
+
+    @pl.when(j == 0)
+    def _():
+        bmax_ref[:] = jnp.full((bm, n_bmax_lanes), _NEG_INF, jnp.float32)
+
+    if n == n_bmax_lanes:
+        bmax_ref[:] = bmax
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bm, n_bmax_lanes), 1)
+        strip = bmax_ref[:]
+        for c in range(n):
+            strip = jnp.where(lane == j * n + c, parts[c], strip)
+        bmax_ref[:] = strip
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "n_valid", "block_rows", "tile_cols", "precision", "interpret"),
+)
+def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, block_rows, tile_cols, precision, interpret):
+    b, d = q.shape
+    t = db.shape[0]
+    kernel = functools.partial(
+        _kernel, metric=metric, tile_cols=tile_cols, n_valid=n_valid, precision=precision
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // block_rows, t // tile_cols),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_cols, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_cols), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, t // _LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t), jnp.float32),
+            jax.ShapeDtypeStruct((b, t // _LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, db, qsq, dbsq, start)
+
+
+def fused_scores_blockmax(
+    q,
+    db,
+    metric: str = "ip",
+    db_sqnorm=None,
+    *,
+    start=0,
+    n_valid: int | None = None,
+    block_rows: int = 256,
+    tile_cols: int = 1024,
+    precision: str = "highest",
+    interpret: bool | None = None,
+):
+    """(masked scores (B, T), blockmax (B, T/128)) in one fused pass.
+
+    ``db`` rows must be a multiple of 128 (the index pads its tiles);
+    query rows are padded internally. Columns at global index
+    ``start + j >= n_valid`` come out as -inf in both outputs.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d = q.shape
+    t = db.shape[0]
+    assert t % _LANES == 0, t
+    # largest divisor of t that is a multiple of 128 and <= the requested
+    # tile_cols (t is always a multiple of 128; worst case falls to 128)
+    m = t // _LANES
+    c = min(tile_cols // _LANES, m)
+    while m % c:
+        c -= 1
+    tile_cols = c * _LANES
+    if n_valid is None:
+        n_valid = t  # callers pass start=0 in this case
+    q = q.astype(jnp.float32)
+    db = db.astype(jnp.float32)
+    if metric == "l2":
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)
+        dbsq = (db_sqnorm if db_sqnorm is not None else jnp.sum(db * db, axis=1))[None, :]
+    else:
+        qsq = jnp.zeros((b, 1), jnp.float32)
+        dbsq = jnp.zeros((1, t), jnp.float32)
+    block_rows = min(block_rows, ((b + 7) // 8) * 8)
+    pad_b = (-b) % block_rows
+    if pad_b:
+        q = jnp.pad(q, ((0, pad_b), (0, 0)))
+        qsq = jnp.pad(qsq, ((0, pad_b), (0, 0)))
+    start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
+    s, bmax = _fused_padded(
+        q, db, qsq, dbsq, start_arr,
+        metric=metric, n_valid=int(n_valid),
+        block_rows=block_rows, tile_cols=tile_cols,
+        precision=precision, interpret=interpret,
+    )
+    if pad_b:
+        s, bmax = s[:b], bmax[:b]
+    return s, bmax

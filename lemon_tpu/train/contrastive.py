@@ -124,25 +124,80 @@ def shard_train_batch(mesh, pixels: np.ndarray, tokens: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# checkpointing (orbax)
+# checkpointing (orbax, async, multi-host-aware)
+
+
+class CheckpointWriter:
+    """Persistent async orbax manager for the train loop (ROADMAP #8).
+
+    - **Async**: saves return immediately; orbax commits in the background
+      and ``close()`` / context-exit drains pending writes. The reference
+      blocks training on every ``torch.save``
+      (train_clip_from_scratch.py:182-187).
+    - **Multi-host**: under ``jax.distributed`` every process calls
+      ``save`` with the same global arrays; orbax writes each host's
+      addressable shards and coordinates the atomic commit — no
+      rank-0-only gating, no host gathers of device state.
+    - **Exact resume**: the full TrainState (params + optimizer moments +
+      step) is snapshotted, not just params.
+    """
+
+    def __init__(self, ckpt_dir: Path, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mgr = ocp.CheckpointManager(
+            Path(ckpt_dir).absolute(),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._mgr.save(step, args=self._ocp.args.StandardSave({"state": state}))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template_state: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the template's dtypes/shapes/shardings — on a mesh
+        each host reads only its own shards."""
+        step = step if step is not None else self._mgr.latest_step()
+        return self._mgr.restore(
+            step, args=self._ocp.args.StandardRestore({"state": template_state})
+        )["state"]
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def save_checkpoint(ckpt_dir: Path, state: TrainState, step: int) -> None:
-    import orbax.checkpoint as ocp
-
-    ckpt_dir = Path(ckpt_dir).absolute()
-    with ocp.CheckpointManager(ckpt_dir) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(state.params))
-        mgr.wait_until_finished()
+    """One-shot synchronous snapshot (train-loop users should prefer the
+    persistent :class:`CheckpointWriter`)."""
+    with CheckpointWriter(ckpt_dir) as writer:
+        writer.save(step, state)
 
 
 def restore_params(ckpt_dir: Path, step: Optional[int] = None):
+    """Params-only view of a checkpoint (model-registry consumption).
+    Accepts both the current full-TrainState layout and round-1's
+    params-only layout."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).absolute()
     with ocp.CheckpointManager(ckpt_dir) as mgr:
         step = step if step is not None else mgr.latest_step()
-        return mgr.restore(step)
+        tree = mgr.restore(step)
+    if isinstance(tree, dict) and "state" in tree:
+        return tree["state"]["params"]
+    return tree
 
 
 def train_loop(
@@ -153,20 +208,36 @@ def train_loop(
     mesh=None,
     ckpt_dir: Optional[Path] = None,
     log_every: int = 100,
+    resume: bool = False,
 ):
     """Minimal driver: batches yield {'pixels': (B,H,W,3) f32, 'tokens':
-    (B,L) i32}. Returns the final state."""
+    (B,L) i32}. Returns the final state. With ``resume`` and an existing
+    checkpoint dir, restores the latest full TrainState (sharding-aware)
+    and continues from the saved step; already-consumed batches are
+    skipped so the data order matches an uninterrupted run."""
     step_fn = make_train_step(model, mesh=mesh)
-    for step_idx, batch in enumerate(batches):
-        pixels = jnp.asarray(batch["pixels"])
-        tokens = jnp.asarray(batch["tokens"])
-        if mesh is not None:
-            pixels, tokens = shard_train_batch(mesh, pixels, tokens)
-        state, loss = step_fn(state, pixels, tokens)
-        if step_idx % log_every == 0:
-            print(f"step {step_idx}: loss {float(loss):.4f}")
-        if ckpt_dir is not None and step_idx > 0 and step_idx % train_cfg.save_interval == 0:
-            save_checkpoint(ckpt_dir, state, step_idx)
-        if step_idx + 1 >= train_cfg.total_steps:
-            break
+    writer = CheckpointWriter(ckpt_dir) if ckpt_dir is not None else None
+    start_step = 0
+    if resume and writer is not None and writer.latest_step() is not None:
+        state = writer.restore(state)
+        start_step = writer.latest_step() + 1
+        print(f"resumed from step {writer.latest_step()}")
+    try:
+        for step_idx, batch in enumerate(batches):
+            if step_idx < start_step:
+                continue
+            pixels = jnp.asarray(batch["pixels"])
+            tokens = jnp.asarray(batch["tokens"])
+            if mesh is not None:
+                pixels, tokens = shard_train_batch(mesh, pixels, tokens)
+            state, loss = step_fn(state, pixels, tokens)
+            if step_idx % log_every == 0:
+                print(f"step {step_idx}: loss {float(loss):.4f}")
+            if writer is not None and step_idx > 0 and step_idx % train_cfg.save_interval == 0:
+                writer.save(step_idx, state)
+            if step_idx + 1 >= train_cfg.total_steps:
+                break
+    finally:
+        if writer is not None:
+            writer.close()
     return state

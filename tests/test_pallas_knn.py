@@ -1,0 +1,99 @@
+"""Pallas kNN kernels (ops/topk.py, ops/scoremax.py) — interpret-mode
+parity on CPU; the compiled path is exercised on hardware by bench.py and
+benchmarks/probe_knn2.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lemon_tpu.knn.index import _blockmax_select, _scores_block, numpy_search
+from lemon_tpu.ops.scoremax import fused_scores_blockmax
+from lemon_tpu.ops.topk import pallas_topk, supports
+
+
+def test_pallas_topk_matches_lax(rng):
+    for b, w, k in [(16, 6528, 51), (7, 640, 5), (33, 999, 64), (8, 512, 512 // 8)]:
+        x = rng.standard_normal((b, w)).astype(np.float32)
+        x[:, 3] = x[:, 9] = 1.5  # exact ties -> index tiebreak
+        x[0, :10] = -np.inf
+        vs, is_ = pallas_topk(jnp.asarray(x), k)
+        rv, ri = jax.lax.top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(vs), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(is_), np.asarray(ri))
+
+
+def test_supports_gate():
+    assert supports(6528, 51)
+    assert not supports(256, 51)  # narrow: XLA wins
+    assert not supports(6528, 200)  # k > lane budget
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_fused_scores_blockmax_semantics(rng, metric):
+    q = jnp.asarray(rng.standard_normal((10, 32)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((2048, 32)).astype(np.float32))
+    dbsq = jnp.sum(db * db, axis=1) if metric == "l2" else None
+    s_ref = np.asarray(_scores_block(q, db, metric, dbsq))
+    col = 256 + np.arange(2048)[None, :]
+    s_ref = np.where(col < 1900, s_ref, -np.inf)
+    s, bm = fused_scores_blockmax(q, db, metric, dbsq, start=256, n_valid=1900)
+    s, bm = np.asarray(s), np.asarray(bm)
+    # matmul accumulation order differs from XLA at the ulp level; the
+    # contract is tolerance-level score equality plus exact internal
+    # consistency (bmax is the true blockmax of the emitted scores).
+    assert np.allclose(s, s_ref, rtol=2e-6, atol=1e-5)
+    np.testing.assert_array_equal(bm, s.reshape(10, 16, 128).max(axis=2))
+    # mask positions exact
+    np.testing.assert_array_equal(np.isneginf(s), np.isneginf(s_ref))
+
+
+def test_fused_tile_cols_divisor(rng):
+    # t = 1920 = 15*128 has no 1024-divisor; the wrapper must fall back to
+    # a valid tile split instead of asserting.
+    q = jnp.asarray(rng.standard_normal((9, 16)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((1920, 16)).astype(np.float32))
+    s, bm = fused_scores_blockmax(q, db, "ip")
+    s, bm = np.asarray(s), np.asarray(bm)
+    assert s.shape == (9, 1920) and bm.shape == (9, 15)
+    np.testing.assert_array_equal(bm, s.reshape(9, 15, 128).max(axis=2))
+
+
+def test_blockmax_select_end_to_end_against_numpy_oracle(rng):
+    """Fused kernel + pallas top-k as composed by _tiled_search's fast
+    path, checked against the numpy exact-search oracle."""
+    b, t, d, k = 24, 4 * 51 * 128 // 4, 24, 12  # t = 6528, prefilter-eligible for k=12
+    xq = rng.standard_normal((b, d)).astype(np.float32)
+    xb = rng.standard_normal((t, d)).astype(np.float32)
+    xb[5] = xb[77]  # duplicate rows -> exact score ties across blocks
+    s, bmax = fused_scores_blockmax(jnp.asarray(xq), jnp.asarray(xb), "ip")
+    sb = s.reshape(b, t // 128, 128)
+    out_s, out_i = _blockmax_select(sb, bmax, 0, k, use_pallas=False)
+    ref_s, ref_i = numpy_search(xb, xq, k, "ip")
+    assert np.allclose(np.asarray(out_s), ref_s, rtol=2e-6, atol=1e-5)
+    # indices must agree wherever scores are not within tolerance of a
+    # neighboring rank (ulp-level reorders of near-ties are acceptable)
+    same = np.asarray(out_i) == ref_i
+    if not same.all():
+        gaps = np.abs(np.diff(ref_s, axis=1))
+        # any disagreement must involve a near-tie
+        bad = np.argwhere(~same)
+        for r, c in bad:
+            window = gaps[r, max(c - 1, 0) : c + 1]
+            assert window.size and window.min() < 1e-4, (r, c)
+
+
+def test_high_precision_path(rng):
+    """precision='high' (bf16x3 opt-in) returns near-identical scores and
+    the same top-k set away from ulp ties."""
+    xq = rng.standard_normal((8, 64)).astype(np.float32)
+    xb = rng.standard_normal((1024, 64)).astype(np.float32)
+    xq /= np.linalg.norm(xq, axis=1, keepdims=True)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    from lemon_tpu.knn.index import _tiled_search
+
+    s0, i0 = _tiled_search(jnp.asarray(xq), jnp.asarray(xb), k=5, metric="ip", tile=512, n_valid=1024)
+    s1, i1 = _tiled_search(jnp.asarray(xq), jnp.asarray(xb), k=5, metric="ip", tile=512, n_valid=1024, precision="high")
+    assert np.allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4, atol=1e-5)
+    assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.95

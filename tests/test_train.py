@@ -141,3 +141,66 @@ def test_early_stopping_utility():
     assert es.best_payload == "init" and not es.should_stop
     assert not es.step(float("inf"), "worse")  # non-improving inf keeps seed
     assert es.best_payload == "init" and es.should_stop
+
+
+def test_checkpoint_writer_full_state_resume(tmp_path):
+    """CheckpointWriter snapshots the full TrainState (params + optimizer
+    moments + step) and restores it sharding-aware on the mesh — the
+    distributed-checkpointing path (ROADMAP #8)."""
+    pytest.importorskip("orbax.checkpoint")
+    from lemon_tpu.core.mesh import get_mesh
+    from lemon_tpu.train.contrastive import CheckpointWriter, make_train_step, restore_params
+
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(warmup_steps=1, total_steps=4, batch_size=8)
+    mesh = get_mesh(8, 1)
+    model, state = create_train_state(cfg, tcfg, mesh=mesh)
+    step_fn = make_train_step(model, mesh=mesh)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((8, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (8, cfg.context_length)).astype(np.int32))
+    state, _ = step_fn(state, pixels, tokens)  # nonzero adam moments
+
+    with CheckpointWriter(tmp_path / "ckpt") as writer:
+        writer.save(1, state)
+    with CheckpointWriter(tmp_path / "ckpt") as writer:
+        assert writer.latest_step() == 1
+        _, template = create_train_state(cfg, tcfg, mesh=mesh)
+        restored = writer.restore(template)
+    assert int(restored.step) == int(state.step) == 1
+    for x, y in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree_util.tree_leaves(state.opt_state), jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # params-only view stays compatible with the registry loader
+    params_view = restore_params(tmp_path / "ckpt")
+    for x, y in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(params_view)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_loop_resume_continues_from_checkpoint(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from lemon_tpu.train.contrastive import train_loop
+
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(warmup_steps=1, total_steps=4, batch_size=4, save_interval=2)
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "pixels": rng.standard_normal((4, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32),
+            "tokens": rng.integers(1, cfg.vocab_size, (4, cfg.context_length)).astype(np.int32),
+        }
+        for _ in range(4)
+    ]
+    model, state = create_train_state(cfg, tcfg)
+    full = train_loop(model, state, iter(batches), tcfg, ckpt_dir=tmp_path / "c1")
+
+    # interrupted run: stop after the step-2 checkpoint...
+    model2, state2 = create_train_state(cfg, tcfg)
+    short_cfg = TrainConfig(warmup_steps=1, total_steps=3, batch_size=4, save_interval=2)
+    train_loop(model2, state2, iter(batches), short_cfg, ckpt_dir=tmp_path / "c2")
+    # ...then resume to completion; must equal the uninterrupted run
+    _, state3 = create_train_state(cfg, tcfg)
+    resumed = train_loop(model2, state3, iter(batches), tcfg, ckpt_dir=tmp_path / "c2", resume=True)
+    for x, y in zip(jax.tree_util.tree_leaves(full.params), jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7)
