@@ -29,6 +29,10 @@ class Precision:
     # stack time on v5e, BENCH_NOTES round 2; max-subtracted softmax is
     # bf16-stable at CLIP's logit scales).
     softmax_dtype: jnp.dtype = jnp.float32
+    # Fold ln_1/ln_2 into the following qkv/fc matmuls (models/clip.py
+    # ln_folded_dense): algebraically exact, removes LN's materialized
+    # output. Off on the parity path to keep the reference op order.
+    fold_ln: bool = False
 
     @staticmethod
     def fp32() -> "Precision":
@@ -37,7 +41,16 @@ class Precision:
     @staticmethod
     def bf16() -> "Precision":
         return Precision(
-            param_dtype=jnp.float32, compute_dtype=jnp.bfloat16, softmax_dtype=jnp.bfloat16
+            param_dtype=jnp.float32,
+            compute_dtype=jnp.bfloat16,
+            softmax_dtype=jnp.bfloat16,
+            # Both LN variants measured flat-to-negative at B=128 packed on
+            # v5e (bf16 LN tail 15.5k, fold_ln 15.1k vs 15.5k baseline):
+            # XLA already fuses LN into adjacent ops, so LN is off the
+            # critical path. Keep fp32 LN + standard op order; the knobs
+            # stay for other shapes/hardware.
+            ln_dtype=jnp.float32,
+            fold_ln=False,
         )
 
 

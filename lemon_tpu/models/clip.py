@@ -139,24 +139,86 @@ class ClipConfig:
 
 
 class FpLayerNorm(nn.Module):
-    """LayerNorm computed in fp32, output cast back to the input dtype."""
+    """LayerNorm with fp32 statistics; the normalize/affine math runs in
+    ``dtype`` (fp32 parity default, matching CLIP's fp16-safe LayerNorm,
+    chexzero_clip.py:177-183; bf16 on the fast path — mean/var stay fp32
+    so only the elementwise tail loses mantissa bits)."""
 
     epsilon: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
-        return (y * scale + bias).astype(orig)
+        if self.dtype == jnp.float32:
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            return (y * scale + bias).astype(orig)
+        # bf16 tail: halves the bytes through the VPU; the (B, L, 1) stats
+        # and (D,) affine params cast down are negligible
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
+        y = (x.astype(self.dtype) - mean.astype(self.dtype)) * inv
+        return (y * scale.astype(self.dtype) + bias.astype(self.dtype)).astype(orig)
 
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LnParams(nn.Module):
+    """Param-only stand-in for FpLayerNorm (same scope/param names) used by
+    the folded-LN fast path; checkpoints load interchangeably."""
+
+    @nn.compact
+    def __call__(self, dim):
+        return (
+            self.param("scale", nn.initializers.ones, (dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (dim,), jnp.float32),
+        )
+
+
+class DenseParams(nn.Module):
+    """Param-only stand-in for nn.Dense (same scope/param names/inits)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32),
+        )
+
+
+def ln_folded_dense(x, kernel, bias, g, beta, *, compute_dtype, epsilon=1e-5):
+    """``Dense(LN(x))`` without materializing LN(x).
+
+    LN's output feeds only the projection here, so fold it algebraically:
+    ``LN(x) @ W = r*(x @ (g*W)) - (r*mu)*colsum(g*W) + (beta @ W + b)``
+    with per-row fp32 stats (mu, r) and fp32-precomputed weight/constant
+    transforms (XLA hoists them out of step loops). Replaces LN's
+    normalize + write + re-read full-tensor passes with one stats read and
+    a fused matmul epilogue — measured +? img/s on the packed embed path
+    (BENCH_NOTES round 2). Exact up to matmul rounding: the bf16 rounding
+    happens on ``g*W`` instead of on ``LN(x)``.
+    """
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + epsilon)
+    w_scaled = kernel * g[:, None]
+    c1 = jnp.sum(w_scaled, axis=0)
+    c2 = beta @ kernel + bias
+    z = jnp.dot(
+        x.astype(compute_dtype), w_scaled.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    z = z * r - (r * mu) * c1 + c2
+    return z.astype(compute_dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -192,11 +254,18 @@ class Attention(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, ln=None):
+        """``ln=(scale, bias)`` folds the preceding LayerNorm into the QKV
+        projection (``x`` is then the RAW residual stream; see
+        ln_folded_dense)."""
         b, l, d = x.shape
         h = self.num_heads
         hd = d // h
-        qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
+        if ln is not None:
+            kernel, bias = DenseParams(3 * d, name="qkv")(d)
+            qkv = ln_folded_dense(x, kernel, bias, *ln, compute_dtype=self.compute_dtype)
+        else:
+            qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
@@ -225,6 +294,8 @@ class TransformerBlock(nn.Module):
     quick_gelu: bool = True
     compute_dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    ln_dtype: Any = jnp.float32
+    fold_ln: bool = False
     attention_impl: str = "xla"
     causal: bool = False
 
@@ -232,16 +303,34 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, mask=None):
         d = x.shape[-1]
         act = quick_gelu if self.quick_gelu else jax.nn.gelu
-        x = x + Attention(
-            self.num_heads,
-            compute_dtype=self.compute_dtype,
-            softmax_dtype=self.softmax_dtype,
-            impl=self.attention_impl,
-            causal=self.causal,
-            name="attn",
-        )(FpLayerNorm(name="ln_1")(x), mask)
-        y = FpLayerNorm(name="ln_2")(x)
-        y = nn.Dense(4 * d, dtype=self.compute_dtype, name="mlp_fc")(y)
+        # ln_1/ln_2 feed ONLY the following projection, so the fast path
+        # folds them into the qkv/fc matmuls (ln_folded_dense) — identical
+        # param tree, no materialized LN output. The parity path keeps the
+        # reference op order (chexzero_clip.py:190-200).
+        if self.fold_ln and self.attention_impl != "pallas":
+            g1, b1 = LnParams(name="ln_1")(d)
+            x = x + Attention(
+                self.num_heads,
+                compute_dtype=self.compute_dtype,
+                softmax_dtype=self.softmax_dtype,
+                impl=self.attention_impl,
+                causal=self.causal,
+                name="attn",
+            )(x, mask, ln=(g1, b1))
+            g2, b2 = LnParams(name="ln_2")(d)
+            kf, bf = DenseParams(4 * d, name="mlp_fc")(d)
+            y = ln_folded_dense(x, kf, bf, g2, b2, compute_dtype=self.compute_dtype)
+        else:
+            x = x + Attention(
+                self.num_heads,
+                compute_dtype=self.compute_dtype,
+                softmax_dtype=self.softmax_dtype,
+                impl=self.attention_impl,
+                causal=self.causal,
+                name="attn",
+            )(FpLayerNorm(dtype=self.ln_dtype, name="ln_1")(x), mask)
+            y = FpLayerNorm(dtype=self.ln_dtype, name="ln_2")(x)
+            y = nn.Dense(4 * d, dtype=self.compute_dtype, name="mlp_fc")(y)
         y = act(y)
         y = nn.Dense(d, dtype=self.compute_dtype, name="mlp_proj")(y)
         return x + y
@@ -253,6 +342,8 @@ class Transformer(nn.Module):
     quick_gelu: bool = True
     compute_dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    ln_dtype: Any = jnp.float32
+    fold_ln: bool = False
     attention_impl: str = "xla"
     causal: bool = False
 
@@ -264,6 +355,8 @@ class Transformer(nn.Module):
                 quick_gelu=self.quick_gelu,
                 compute_dtype=self.compute_dtype,
                 softmax_dtype=self.softmax_dtype,
+                ln_dtype=self.ln_dtype,
+                fold_ln=self.fold_ln,
                 attention_impl=self.attention_impl,
                 causal=self.causal,
                 name=f"block_{i}",
@@ -278,6 +371,8 @@ class VisionTower(nn.Module):
     cfg: ClipConfig
     compute_dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    ln_dtype: Any = jnp.float32
+    fold_ln: bool = False
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False):
@@ -319,7 +414,7 @@ class VisionTower(nn.Module):
         )
         x = x + pos.astype(x.dtype)
         if cfg.vision_ln_pre:
-            x = FpLayerNorm(name="ln_pre")(x)
+            x = FpLayerNorm(dtype=self.ln_dtype, name="ln_pre")(x)
         seq = g * g + 1
         pack = cfg.attention_pack if b % max(cfg.attention_pack, 1) == 0 else 1
         if cfg.attention_impl == "pallas":
@@ -334,6 +429,8 @@ class VisionTower(nn.Module):
             quick_gelu=cfg.quick_gelu,
             compute_dtype=self.compute_dtype,
             softmax_dtype=self.softmax_dtype,
+            ln_dtype=self.ln_dtype,
+            fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
             name="transformer",
         )(x, mask)
@@ -355,6 +452,8 @@ class TextTower(nn.Module):
     cfg: ClipConfig
     compute_dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    ln_dtype: Any = jnp.float32
+    fold_ln: bool = False
 
     @nn.compact
     def __call__(self, tokens):
@@ -387,13 +486,15 @@ class TextTower(nn.Module):
             quick_gelu=cfg.quick_gelu,
             compute_dtype=self.compute_dtype,
             softmax_dtype=self.softmax_dtype,
+            ln_dtype=self.ln_dtype,
+            fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
             causal=True,
             name="transformer",
         )(x, mask)
         if pack > 1:
             x = x.reshape(b, l, w)
-        x = FpLayerNorm(name="ln_final")(x)
+        x = FpLayerNorm(dtype=self.ln_dtype, name="ln_final")(x)
 
         # Pool at the first EOT: ids peak at the EOT token, and argmax
         # returns the first occurrence, so this works for both zero- and
@@ -422,11 +523,15 @@ class ClipModel(nn.Module):
                 self.cfg,
                 compute_dtype=self.precision.compute_dtype,
                 softmax_dtype=self.precision.softmax_dtype,
+                ln_dtype=self.precision.ln_dtype,
+                fold_ln=self.precision.fold_ln,
             )
         self.text = TextTower(
             self.cfg,
             compute_dtype=self.precision.compute_dtype,
             softmax_dtype=self.precision.softmax_dtype,
+            ln_dtype=self.precision.ln_dtype,
+            fold_ln=self.precision.fold_ln,
         )
         self.logit_scale = self.param(
             "logit_scale",

@@ -184,3 +184,32 @@ def test_openai_state_dict_roundtrip():
     for (p1, a), (p2, b) in zip(sorted(flat_hf, key=lambda x: str(x[0])), sorted(flat_oa, key=lambda x: str(x[0]))):
         assert str(p1) == str(p2)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p1))
+
+
+def test_fold_ln_matches_standard_path():
+    """The folded-LN fast path (ln_folded_dense) is algebraically identical
+    to Dense(FpLayerNorm(x)) and produces the same param tree."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    from lemon_tpu.core.precision import Precision
+    from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params
+
+    cfg = ClipConfig.tiny()
+    model, params = init_params(cfg, seed=0, precision=Precision.fp32())
+    pfold = dataclasses.replace(Precision.fp32(), fold_ln=True)
+    model_f = ClipModel(cfg, precision=pfold)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    tk = jnp.asarray(rng.integers(1, cfg.vocab_size - 2, (4, 16)).astype(np.int32))
+    e0 = model.apply(params, px, method=ClipModel.encode_image)
+    e1 = model_f.apply(params, px, method=ClipModel.encode_image)
+    t0 = model.apply(params, tk, method=ClipModel.encode_text)
+    t1 = model_f.apply(params, tk, method=ClipModel.encode_text)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-4, atol=1e-5)
+    _, p2 = init_params(cfg, seed=0, precision=pfold)
+    s1 = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(params)}
+    s2 = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(p2)}
+    assert s1 == s2
