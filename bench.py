@@ -167,15 +167,65 @@ def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 102
     return n_db * (q_large - q_small) / max(t_large - t_small, 1e-9)
 
 
+def bench_knn_500k(n: int = 500_000, d: int = 512, k: int = 51) -> float:
+    """BASELINE.json acceptance target: exact kNN over 500k CC3M-scale
+    pairs in < 1 min (the reference caps its comparison set at 50k because
+    FAISS-on-CPU is O(N^2) there; run_lemon.py:48,122-127). Wall-clock for
+    the full 500k x 500k search at the paper's worst-case k, including
+    query chunking, on-device data (host transfer through the tunnel would
+    dominate otherwise and is not part of the claim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.knn.index import _tiled_search, auto_tile, use_pallas_knn
+
+    def dev_unit(key, shape):
+        f = jax.jit(lambda s: (lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True))(
+            jax.random.normal(s, shape, jnp.float32)))
+        x = f(jax.random.PRNGKey(key))
+        x.block_until_ready()
+        return x
+
+    xb = dev_unit(0, (n, d))
+    q_chunk = 16384
+    tile = auto_tile(n, q_chunk)
+    pallas = use_pallas_knn()
+
+    @jax.jit
+    def run_chunk(xq_dev, xb_arg):
+        s, i = _tiled_search(xq_dev, xb_arg, k=k, metric="ip", tile=tile,
+                             n_valid=n, use_pallas=pallas)
+        return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
+
+    # compile outside the timed region (a user amortizes it across runs)
+    float(run_chunk(jax.lax.dynamic_slice_in_dim(xb, 0, q_chunk, 0), xb))
+    t0 = time.perf_counter()
+    parts = []
+    for start in range(0, n, q_chunk):
+        # chunks dispatch async; the final scalar fetch forces the lot
+        # (overlapping last-chunk row repeats keep shapes static)
+        chunk = jax.lax.dynamic_slice_in_dim(xb, min(start, n - q_chunk), q_chunk, 0)
+        parts.append(run_chunk(chunk, xb))
+    total = float(jnp.sum(jnp.stack(parts)))
+    assert np.isfinite(total)
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
 
+    from lemon_tpu.core import enable_compilation_cache
+
+    # Persistent executable cache: first round pays the tunnel compiles,
+    # later rounds (and repeat user runs) skip them.
+    enable_compilation_cache()
     backend = jax.default_backend()
     emb_rate = bench_embeddings()
     txt_rate = bench_text_embeddings()
     knn_rate = bench_knn()
     knn_rate_k6 = bench_knn(k=6)  # the CLI default knn_k=5 (+1 exclusion)
     knn_rate_fast = bench_knn(precision="high")  # opt-in bf16x3 scores
+    knn_500k = bench_knn_500k()
     e2e = bench_e2e_detect()
     result = {
         "metric": "clip_vitb32_image_embeddings_per_sec_per_chip",
@@ -186,6 +236,7 @@ def main():
         "knn_pairs_per_sec": round(knn_rate, 0),
         "knn_pairs_per_sec_k6": round(knn_rate_k6, 0),
         "knn_pairs_per_sec_bf16x3": round(knn_rate_fast, 0),
+        "knn_500k_seconds": round(knn_500k, 1),
         **e2e,
         "backend": backend,
     }

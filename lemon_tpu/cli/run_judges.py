@@ -127,6 +127,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from lemon_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()  # compile-dominated wall-clock on remote TPUs
 
     import pandas as pd
 

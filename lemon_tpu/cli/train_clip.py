@@ -74,6 +74,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from lemon_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()  # compile-dominated wall-clock on remote TPUs
 
     from lemon_tpu.core.io import dump_args, env_banner, mark_done, redirect_output
     from lemon_tpu.data.datasets import get_dataset

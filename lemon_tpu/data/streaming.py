@@ -68,12 +68,30 @@ class ShardedUint8Store:
             self._maps[s] = np.load(self._paths[s], mmap_mode="r")
         return self._maps[s]
 
+    def _native(self):
+        """Lazily-built native pread gather engine (data/native_loader.py);
+        False when the toolchain can't build it."""
+        if not hasattr(self, "_native_engine"):
+            try:
+                from lemon_tpu.data.native_loader import NativeShardGather
+
+                self._native_engine = NativeShardGather(self)
+            except Exception:
+                self._native_engine = False
+        return self._native_engine
+
     def __getitem__(self, idx) -> np.ndarray:
         if isinstance(idx, (int, np.integer)):
             return self[np.asarray([idx])][0]
         if isinstance(idx, slice):
             idx = np.arange(*idx.indices(len(self)))
         idx = np.asarray(idx, np.int64)
+        # Batch reads take the native threaded-pread engine; the numpy
+        # memmap path below stays as the fallback and the test oracle.
+        if len(idx) >= 32:
+            eng = self._native()
+            if eng:
+                return eng.gather(idx)
         out = np.empty((len(idx),) + tuple(self._row_shape), np.uint8)
         shard_of = np.searchsorted(self._offsets, idx, side="right") - 1
         # Group reads per shard (shard-sequential I/O), preserve caller order.

@@ -147,11 +147,22 @@ class ClipEncoder:
         # dispatch overlaps host decode/tokenize of batch i+1 with device
         # compute of batch i), and ONE device-side concatenation + fetch per
         # modality at the end — per-RPC tunnel latency, not compute, is the
-        # wall-clock driver on remote TPUs.
-        img_chunks, txt_chunks, valid = [], [], []
-        for idx, n_valid in iter_batches(split, self.batch_size):
+        # wall-clock driver on remote TPUs. Batch assembly (image gather —
+        # threaded preads for stream-backed stores — + BPE tokenize) runs
+        # ahead on a background thread (data/native_loader.py Prefetcher)
+        # so disk IO also overlaps the dispatch loop.
+        from lemon_tpu.data.native_loader import Prefetcher
+
+        def assemble(item):
+            idx, n_valid = item
             images = load_images(split, idx)
             tokens = self._tokenize([texts[i] for i in idx])
+            return images, tokens, n_valid
+
+        img_chunks, txt_chunks, valid = [], [], []
+        for images, tokens, n_valid in Prefetcher(
+            iter_batches(split, self.batch_size), assemble, depth=2
+        ):
             img_e, txt_e = self._embed_pair(self.params, jnp.asarray(images), jnp.asarray(tokens))
             img_chunks.append(img_e)
             txt_chunks.append(txt_e)

@@ -87,3 +87,72 @@ def test_e2e_detection_on_stream_backing(tmp_path, monkeypatch):
     res = run_detection(cfg)
     agg = res["agg_results"]["know_val_labels"]
     assert agg["test"]["AUROC"] > 0.7
+
+
+def test_native_gather_matches_memmap_oracle(tmp_path):
+    """The C++ threaded-pread engine (data/csrc/shard_gather.cc) returns
+    bit-identical batches to the numpy memmap path, including unsorted and
+    duplicate indices spanning shard boundaries."""
+    from lemon_tpu.data.native_loader import NativeShardGather, native_gather_available
+
+    if not native_gather_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, (777, 6, 5, 3), np.uint8)
+    w = ShardWriter(tmp_path / "store", shard_rows=100)
+    w.append(data)
+    store = w.finish()
+    eng = NativeShardGather(store)
+    assert len(eng) == 777
+    for idx in (
+        np.arange(777),
+        rng.permutation(777)[:123],
+        np.array([0, 0, 776, 776, 99, 100, 101]),  # dups + shard edges
+        np.array([], np.int64),
+    ):
+        np.testing.assert_array_equal(eng.gather(idx), data[idx])
+    # the store itself routes big batches through the engine
+    idx = rng.permutation(777)[:64]
+    np.testing.assert_array_equal(store[idx], data[idx])
+    with pytest.raises(AssertionError):
+        eng.gather(np.array([777]))
+
+
+def test_prefetcher_order_and_errors():
+    from lemon_tpu.data.native_loader import Prefetcher
+
+    seen = list(Prefetcher(range(10), lambda i: i * i, depth=3))
+    assert seen == [i * i for i in range(10)]
+
+    def boom(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    it = iter(Prefetcher(range(10), boom))
+    assert [next(it) for _ in range(3)] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        next(it)
+
+
+def test_prefetcher_overlaps_gather(tmp_path):
+    """Batches streamed through Prefetcher+NativeShardGather equal direct
+    indexing (the wiring detect.py's embed loop uses for stream datasets)."""
+    from lemon_tpu.data.native_loader import (
+        NativeShardGather,
+        Prefetcher,
+        native_gather_available,
+    )
+
+    if not native_gather_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (512, 4, 4, 3), np.uint8)
+    w = ShardWriter(tmp_path / "store", shard_rows=64)
+    w.append(data)
+    store = w.finish()
+    eng = NativeShardGather(store)
+    batches = [np.arange(i, i + 128) for i in range(0, 512, 128)]
+    out = list(Prefetcher(batches, eng.gather))
+    for b, got in zip(batches, out):
+        np.testing.assert_array_equal(got, data[b])
