@@ -63,7 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     # framework extensions
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
     p.add_argument("--mesh", default=None, help="mesh shape as DATAxMODEL, e.g. 8x1")
-    p.add_argument("--knn_tile", default=32768, type=int)
+    p.add_argument("--knn_tile", default=0, type=int,
+                   help="DB tile rows; 0 = adaptive (largest tile whose score block fits a 4GB budget)")
     p.add_argument("--embedding_cache", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--synthetic_n", default=600, type=int)

@@ -82,7 +82,7 @@ class DetectionConfig:
     strict_hparam_parity: bool = False
     # framework extensions (no reference counterpart)
     synthetic_n: int = 600
-    knn_tile: int = 32768
+    knn_tile: int = 0  # 0 = adaptive tile (knn/index.py:auto_tile)
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device
     embedding_cache: Optional[str] = None
     checkpoint: Optional[str] = None
@@ -226,8 +226,9 @@ def build_neighbor_logs(
         )
 
     metric = "ip" if cfg.dist_type == "cosine" else "l2"
-    index_img = ExactKnnIndex(metric=metric, tile=cfg.knn_tile, mesh=mesh)
-    index_txt = ExactKnnIndex(metric=metric, tile=cfg.knn_tile, mesh=mesh)
+    tile = cfg.knn_tile or None  # 0/None -> adaptive
+    index_img = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh)
+    index_txt = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh)
     index_img.add(img_tr)
     index_txt.add(txt_tr)
     if cfg.dist_type == "cosine":
