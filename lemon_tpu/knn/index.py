@@ -124,7 +124,9 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
     cand = jnp.take_along_axis(sb, block_ids[:, :, None], axis=1)  # (B, k, 128)
     cand = cand.reshape(b, k * _BLOCK)
     if use_pallas and _topk_supports(k * _BLOCK, k):
-        out_s, pos = pallas_topk(cand, k, interpret=False)
+        # interpret auto-selects: compiled on TPU, interpreter elsewhere
+        # (lets CPU-mesh tests exercise this exact composition)
+        out_s, pos = pallas_topk(cand, k)
     else:
         out_s, pos = jax.lax.top_k(cand, k)
     # Positions encode (block slot, lane): recover global columns with a
@@ -202,7 +204,7 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_p
         if fuse:
             s, bmax = fused_scores_blockmax(
                 xq, db, metric, dbsq, start=start, n_valid=n_valid,
-                precision=precision, interpret=False,
+                precision=precision,
             )
             sb = s.reshape(xq.shape[0], db.shape[0] // _BLOCK, _BLOCK)
             return _blockmax_select(sb, bmax, start, k, use_pallas)

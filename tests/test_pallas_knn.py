@@ -97,3 +97,25 @@ def test_high_precision_path(rng):
     s1, i1 = _tiled_search(jnp.asarray(xq), jnp.asarray(xb), k=5, metric="ip", tile=512, n_valid=1024, precision="high")
     assert np.allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4, atol=1e-5)
     assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.95
+
+
+def test_sharded_search_with_pallas_path(rng):
+    """The fused Pallas kernels compose with the shard_map'd sharded search
+    (interpret mode on the CPU mesh; same code path the TPU compiles)."""
+    from lemon_tpu.core.mesh import get_mesh
+    from lemon_tpu.knn.index import _sharded_search_fn
+    import jax.numpy as jnp
+
+    mesh8 = get_mesh()
+
+    k, d, per_shard = 2, 16, 1024  # tile==per_shard >= 4*k*128 -> fuse on
+    n = per_shard * 8
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((16, d)).astype(np.float32)
+    fn = _sharded_search_fn(mesh8, k, "ip", per_shard, use_pallas=True)
+    starts = jnp.arange(8, dtype=jnp.int32) * per_shard
+    valid = jnp.full((8,), per_shard, jnp.int32)
+    s, i = fn(jnp.asarray(xq), jnp.asarray(xb), starts, valid)
+    ref_s, ref_i = numpy_search(xb, xq, k, "ip")
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=2e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
