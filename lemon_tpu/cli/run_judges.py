@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--noise_type", default="random")
     p.add_argument("--noise_level", type=float, default=0.4)
     p.add_argument("--backend", default="hf", choices=["hf", "echo"])
+    p.add_argument("--get_expl", action="store_true",
+                   help="llava: ask for an explanation instead of Yes/No; raw "
+                        "replies go to scores.csv, no score eval (run_llava.py:97-99,179)")
     p.add_argument("--vlm_checkpoint", default=None)
     p.add_argument("--llm_checkpoint", default=None)
     p.add_argument("--data_seed", type=int, default=0)
@@ -175,7 +178,20 @@ def main(argv=None):
         images = load_images(split, np.arange(len(split)))
         captions = list(split.sentence)
         if args.judge == "llava":
-            logs = run_llava_judge(list(images), captions, vlm_generate)
+            logs = run_llava_judge(list(images), captions, vlm_generate, explain=args.get_expl)
+            if args.get_expl:
+                # Explanation mode: dump raw replies, skip scoring entirely
+                # (reference writes the df and exits the eval branch,
+                # run_llava.py:179-199).
+                rows.append(pd.DataFrame({
+                    "sset": sset,
+                    "idx": np.arange(len(split)),
+                    "actual_label": split.gold_sentence,
+                    "noisy_label": split.sentence,
+                    "is_mislabel": split.is_mislabel,
+                    "raw_output": [l["raw_output"] for l in logs],
+                }))
+                continue
             scores = [l["score"] for l in logs]
         else:
             pipe = VdcPipeline(llm_generate=llm_generate, vlm_answer=vlm_answer, specific_qa=specific_qa)
@@ -189,7 +205,10 @@ def main(argv=None):
             "pred_score": np.asarray(scores, np.float64),
         }))
     df = pd.concat(rows, ignore_index=True)
-    evaluate_scores(df, out_dir)
+    if args.get_expl and args.judge == "llava":
+        df.to_csv(out_dir / "scores.csv", index=False)
+    else:
+        evaluate_scores(df, out_dir)
     mark_done(out_dir)
 
 
