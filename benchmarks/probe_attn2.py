@@ -18,11 +18,8 @@ HD = D // H
 STEPS = (2, 22)
 
 
-def timed_scalar(fn, *args):
-    t0 = time.perf_counter()
-    out = float(fn(*args))
-    assert np.isfinite(out), out
-    return time.perf_counter() - t0
+from benchmarks._timing import timed_scalar as timed_scalar  # shared tunnel-safe timing
+
 
 
 def measure(fn, *arrays):

@@ -29,11 +29,8 @@ B = 256
 STEPS = (2, 22)
 
 
-def timed_scalar(fn, *args):
-    t0 = time.perf_counter()
-    out = float(fn(*args))
-    assert np.isfinite(out), out
-    return time.perf_counter() - t0
+from benchmarks._timing import timed_scalar as timed_scalar  # shared tunnel-safe timing
+
 
 
 def two_point(make_run, params, x):

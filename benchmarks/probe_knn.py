@@ -24,11 +24,8 @@ B, T, D, K = 16384, 65536, 512, 51
 _BLOCK = 128
 
 
-def timed_scalar(fn, *args):
-    t0 = time.perf_counter()
-    out = float(fn(*args))
-    assert np.isfinite(out), out
-    return time.perf_counter() - t0
+from benchmarks._timing import timed_scalar as timed_scalar  # shared tunnel-safe timing
+
 
 
 def two_point(fn, q_small, q_large, xb):

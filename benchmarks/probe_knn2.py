@@ -24,11 +24,8 @@ _BLOCK = 128
 N_BLOCKS = T // _BLOCK
 
 
-def timed_scalar(fn, *args):
-    t0 = time.perf_counter()
-    out = float(fn(*args))
-    assert np.isfinite(out), out
-    return time.perf_counter() - t0
+from benchmarks._timing import timed_scalar as timed_scalar  # shared tunnel-safe timing
+
 
 
 def two_point(fn, small_args, large_args, n_small, n_large):

@@ -18,11 +18,8 @@ from lemon_tpu.ops.topk import pallas_topk
 N_DB, D, K, Q = 131_072, 512, 51, 16_384
 
 
-def timed(fn, *args):
-    t0 = time.perf_counter()
-    out = float(fn(*args))
-    assert np.isfinite(out), out
-    return time.perf_counter() - t0
+from benchmarks._timing import timed_scalar as timed  # shared tunnel-safe timing
+
 
 
 def main():

@@ -201,7 +201,9 @@ def main(argv=None):
     output_root = Path(args.output_root) / args.experiment
     output_root.mkdir(parents=True, exist_ok=True)
     jobs = build_jobs(args.experiment, output_root)
-    print(f"{args.experiment}: {len(jobs)} jobs; states: {summarize(jobs)}")
+    # Pass the budget so jobs a daemon quarantined report FAILED here
+    # instead of INCOMPLETE (which would invite a blind relaunch).
+    print(f"{args.experiment}: {len(jobs)} jobs; states: {summarize(jobs, args.retry_budget)}")
 
     if args.command == "status":
         return

@@ -199,20 +199,22 @@ def build_mscoco(karpathy_json: Path, instances_jsons: Sequence[Path], out_root:
     meta = pd.DataFrame.from_records(meta["images"].values).set_index("cocoid")
 
     srs = []
-    cats = None
+    cat_names = {}  # id -> name, merged over every instances file
     for path in instances_jsons:
         import json
 
         a = json.load(open(path))
         annots = pd.DataFrame(a["annotations"])
         srs.append(annots.groupby("image_id").apply(lambda x: x["category_id"].unique()))
-        cats = pd.DataFrame(a["categories"]).set_index("id")["name"]
+        cat_names.update({c["id"]: c["name"] for c in a["categories"]})
     cat_labels = pd.concat(srs)
-    meta["cat_labels"] = cat_labels
-    meta["cat_labels"] = meta["cat_labels"].apply(
-        lambda x: x if isinstance(x, (list, tuple, np.ndarray)) else []
+    # Align to the Karpathy index first so unannotated images get [] in
+    # BOTH columns (a raw assignment from the pre-aligned Series leaves
+    # NaN rows behind for them).
+    meta["cat_labels"] = cat_labels.reindex(meta.index).apply(
+        lambda x: list(x) if isinstance(x, (list, tuple, np.ndarray)) else []
     )
-    meta["cat_labels_text"] = cat_labels.apply(lambda x: [cats[i] for i in x])
+    meta["cat_labels_text"] = meta["cat_labels"].apply(lambda x: [cat_names[i] for i in x])
 
     meta["sentence"] = _pick_one_caption(meta["sentences"])
     meta = _tag_nouns(meta)

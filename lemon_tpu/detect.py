@@ -186,6 +186,9 @@ def _embedding_cache_key(cfg: DetectionConfig, encoder: ClipEncoder, split, text
         else:
             h.update(np.ascontiguousarray(split.images).tobytes())
     h.update(encoder.weights_fingerprint.encode())
+    # Numerics matter too: a bf16 fast-path run and an fp32 parity run must
+    # not share cached embeddings (same weights, different values).
+    h.update(repr(getattr(encoder.model, "precision", None)).encode())
     return f"{cfg.dataset}/{cfg.clip_model}/{tag}/{h.hexdigest()}"
 
 

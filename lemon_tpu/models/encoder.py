@@ -160,13 +160,17 @@ class ClipEncoder:
             return images, tokens, n_valid
 
         img_chunks, txt_chunks, valid = [], [], []
-        for images, tokens, n_valid in Prefetcher(
-            iter_batches(split, self.batch_size), assemble, depth=2
-        ):
-            img_e, txt_e = self._embed_pair(self.params, jnp.asarray(images), jnp.asarray(tokens))
-            img_chunks.append(img_e)
-            txt_chunks.append(txt_e)
-            valid.append(n_valid)
+        prefetcher = Prefetcher(iter_batches(split, self.batch_size), assemble, depth=2)
+        try:
+            for images, tokens, n_valid in prefetcher:
+                img_e, txt_e = self._embed_pair(self.params, jnp.asarray(images), jnp.asarray(tokens))
+                img_chunks.append(img_e)
+                txt_chunks.append(txt_e)
+                valid.append(n_valid)
+        finally:
+            # unblock + join the worker if the embed loop raised mid-split
+            # (otherwise it would sit on queue.put holding batch memory)
+            prefetcher.close()
         if len(img_chunks) == 1:
             img = np.asarray(img_chunks[0])[: valid[0]]
             txt = np.asarray(txt_chunks[0])[: valid[0]]

@@ -35,24 +35,33 @@ def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, w: int):
     out_col = jax.lax.broadcasted_iota(jnp.int32, (bm, _OUT_W), 1)
 
     def body(j, acc):
-        x, vals_acc, idx_acc = acc
+        # ``colv`` holds each column's original index until consumed, then
+        # the sentinel ``w``. Masking a consumed -inf entry's VALUE is a
+        # no-op (it's already -inf), so candidate selection goes through
+        # colv — consumed entries can never be re-picked and rows with
+        # fewer than k finite entries emit successive distinct -inf
+        # columns, exactly like lax.top_k.
+        x, colv, vals_acc, idx_acc = acc
         m = jnp.max(x, axis=1, keepdims=True)
         # first-occurrence argmax == ascending-index tiebreak
-        idx = jnp.min(jnp.where(x == m, col, w), axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(x == m, colv, w), axis=1, keepdims=True)
         # onehot-accumulate into lane j of the output (2 cheap VPU ops;
         # a dynamic single-lane store per iteration is slower)
         lane = out_col == j
         vals_acc = jnp.where(lane, m, vals_acc)
         idx_acc = jnp.where(lane, idx, idx_acc)
-        x = jnp.where(col == idx, _NEG_INF, x)
-        return x, vals_acc, idx_acc
+        consumed = col == idx
+        x = jnp.where(consumed, _NEG_INF, x)
+        colv = jnp.where(consumed, w, colv)
+        return x, colv, vals_acc, idx_acc
 
-    _, vals, idx = jax.lax.fori_loop(
+    _, _, vals, idx = jax.lax.fori_loop(
         0,
         k,
         body,
         (
             x_ref[:],
+            col,
             jnp.full((bm, _OUT_W), _NEG_INF, jnp.float32),
             jnp.full((bm, _OUT_W), w, jnp.int32),
         ),

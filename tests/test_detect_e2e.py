@@ -172,3 +172,20 @@ def test_subset_val_set(tmp_path):
         df.loc[df.sset == "val", "idx"].to_numpy(),
         res2["df"].loc[res2["df"].sset == "val", "idx"].to_numpy(),
     )
+
+
+def test_embedding_cache_keys_on_precision(tmp_path, monkeypatch):
+    """fp32 and bf16 runs sharing a cache dir must not reuse each other's
+    embeddings (the numerics differ; the key folds in the Precision)."""
+    base = dict(
+        dataset="synthetic_caption", noise_type="random", noise_level=0.4,
+        clip_model="tiny", knn_k=3, batch_size=64, synthetic_n=120,
+        knn_tile=32, grid=SMALL_GRID, skip_train=True,
+        embedding_cache=str(tmp_path / "cache"),
+    )
+    run_detection(DetectionConfig(**base))
+    n_fp32 = len(list((tmp_path / "cache").glob("emb_*.npz")))
+    monkeypatch.setenv("LEMON_TPU_PRECISION", "bf16")
+    run_detection(DetectionConfig(**base))
+    n_both = len(list((tmp_path / "cache").glob("emb_*.npz")))
+    assert n_both > n_fp32, "bf16 run reused the fp32 cache entries"

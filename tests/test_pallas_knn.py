@@ -18,6 +18,8 @@ def test_pallas_topk_matches_lax(rng):
         x = rng.standard_normal((b, w)).astype(np.float32)
         x[:, 3] = x[:, 9] = 1.5  # exact ties -> index tiebreak
         x[0, :10] = -np.inf
+        x[1, 3:] = -np.inf  # fewer than k finite entries: lax.top_k emits
+        # successive distinct -inf columns; the kernel must match
         vs, is_ = pallas_topk(jnp.asarray(x), k)
         rv, ri = jax.lax.top_k(jnp.asarray(x), k)
         np.testing.assert_array_equal(np.asarray(vs), np.asarray(rv))

@@ -54,6 +54,7 @@ def test_build_mscoco(tmp_path):
     # image 0 has categories {1, 2}; images 6,7 have none -> []
     assert sorted(df.loc[0, "cat_labels"]) == [1, 2]
     assert list(df.loc[7, "cat_labels"]) == []
+    assert list(df.loc[7, "cat_labels_text"]) == []  # not NaN (was a bug)
     assert df.loc[0, "cat_labels_text"][0] in ("bird", "car")
     # caption picked from this image's own sentences
     for i in range(8):
@@ -61,6 +62,25 @@ def test_build_mscoco(tmp_path):
     # deterministic caption selection (np.random.seed(42) stream)
     df2 = build_mscoco(kp, [inst])
     assert list(df2["sentence"]) == list(df["sentence"])
+
+
+def test_build_mscoco_categories_merge_across_files(tmp_path):
+    """Category names resolve across ALL instances files, not just the
+    last one (train/val categories merged; was a bug)."""
+    kp = _karpathy_json(tmp_path, "coco")
+    inst_a = tmp_path / "instances_a.json"
+    inst_a.write_text(json.dumps({
+        "annotations": [{"image_id": 0, "category_id": 7, "id": 1}],
+        "categories": [{"id": 7, "name": "dog"}],
+    }))
+    inst_b = tmp_path / "instances_b.json"
+    inst_b.write_text(json.dumps({
+        "annotations": [{"image_id": 1, "category_id": 8, "id": 2}],
+        "categories": [{"id": 8, "name": "cat"}],
+    }))
+    df = build_mscoco(kp, [inst_a, inst_b])
+    assert list(df.loc[0, "cat_labels_text"]) == ["dog"]
+    assert list(df.loc[1, "cat_labels_text"]) == ["cat"]
 
 
 def test_build_flickr30_and_loader_roundtrip(tmp_path, monkeypatch):

@@ -156,3 +156,17 @@ def test_prefetcher_overlaps_gather(tmp_path):
     out = list(Prefetcher(batches, eng.gather))
     for b, got in zip(batches, out):
         np.testing.assert_array_equal(got, data[b])
+
+
+def test_prefetcher_close_unblocks_worker():
+    """Abandoning iteration mid-stream (e.g. the embed loop raised) must not
+    leave the worker thread blocked on queue.put."""
+    import itertools
+
+    from lemon_tpu.data.native_loader import Prefetcher
+
+    p = Prefetcher(itertools.count(), lambda i: i, depth=2)
+    it = iter(p)
+    assert next(it) == 0
+    p.close()
+    assert not p._t.is_alive()
