@@ -351,9 +351,13 @@ FIXED_ABLATIONS = {
 }
 
 
-def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs) -> Tuple[Dict, "object"]:
+def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs, timer=None) -> Tuple[Dict, "object"]:
     """Hyperparameter selection + per-split evaluation
-    (run_lemon.py:319-427). Returns (agg_results, dataframe)."""
+    (run_lemon.py:319-427). Returns (agg_results, dataframe).
+    ``timer``: optional PhaseTimer extended with the hparam/eval stages."""
+    from lemon_tpu.core.profiling import PhaseTimer
+
+    timer = timer or PhaseTimer()
     df = logs.to_dataframe()
 
     if "d1" in cfg.ablation:
@@ -384,6 +388,7 @@ def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs) -> Tuple[Dict,
             force_zero=force_zero,
             force_one=force_one,
             use_device_grid=not cfg.strict_hparam_parity,
+            timer=timer,
         )
         hp = unpack_hparams(best_x, force_zero, force_one)
         results[criteria] = {**hp, "thres": best_thres, "selected_val": best_f1}
@@ -396,13 +401,14 @@ def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs) -> Tuple[Dict,
 
     val_mask = logs.sset == "val"
     prevalence = logs.is_mislabel[val_mask].sum() / val_mask.sum()
-    thress = eval_metrics(logs.is_mislabel[val_mask], scores[val_mask], prevalence=prevalence)
-    fix = {k: thress[k] for k in ("F1_optimal_thres", "F1_prev_thres", "F1_heuristic_thres")}
-    for sname in np.unique(logs.sset):
-        mask = logs.sset == sname
-        results[criteria][sname] = eval_metrics(
-            logs.is_mislabel[mask], scores[mask], prevalence=prevalence, fix_thress=fix
-        )
+    with timer.phase("eval_metrics"):
+        thress = eval_metrics(logs.is_mislabel[val_mask], scores[val_mask], prevalence=prevalence)
+        fix = {k: thress[k] for k in ("F1_optimal_thres", "F1_prev_thres", "F1_heuristic_thres")}
+        for sname in np.unique(logs.sset):
+            mask = logs.sset == sname
+            results[criteria][sname] = eval_metrics(
+                logs.is_mislabel[mask], scores[mask], prevalence=prevalence, fix_thress=fix
+            )
     return results, df
 
 
@@ -442,7 +448,11 @@ def run_detection(cfg: DetectionConfig, out_dir: Optional[Path] = None) -> Dict:
 
     t0 = time.time()
     logs, timing = build_neighbor_logs(cfg, encoder, splits, label_set, mesh=mesh)
-    agg, df = select_and_evaluate(cfg, logs)
+    from lemon_tpu.core.profiling import PhaseTimer
+
+    sel_timer = PhaseTimer()
+    agg, df = select_and_evaluate(cfg, logs, timer=sel_timer)
+    timing.update(sel_timer.as_dict())
     total = time.time() - t0
     n = len(logs)
     print(f"Finished {n} samples in {total:.2f} seconds; avg of {total / n:.5f}s per sample")

@@ -149,12 +149,17 @@ def maximize_metric(
     force_one: Sequence[str] = (),
     scipy_methods: Sequence[str] = ("Powell", "Nelder-Mead"),
     use_device_grid: bool = True,
+    timer=None,
 ) -> Tuple[np.ndarray, float, float]:
     """Returns (best 6-vector, best objective value, threshold at optimum).
 
     Signature and ensemble semantics mirror lib/metrics/utils.py:151-196;
     the grid pass runs on device unless ``use_device_grid=False``.
+    ``timer``: optional core.profiling.PhaseTimer for per-stage wall-clock.
     """
+    from lemon_tpu.core.profiling import PhaseTimer
+
+    timer = timer or PhaseTimer()
     obj_func_args = obj_func_args or {}
     grid = grid if grid is not None else default_grid()
     y = np.asarray(logs_val.is_mislabel)
@@ -169,34 +174,37 @@ def maximize_metric(
             best_val = val
             best_x = np.asarray(x, np.float64)
 
-    for x0 in x0s:
-        for method in scipy_methods:
-            res = minimize(
-                _objective,
-                np.asarray(x0, np.float64),
-                args=(logs_val, y, obj_func, obj_func_args, force_zero, force_one),
-                method=method,
-                options={},
-            )
-            if -res.fun > best_val:
-                best_val = float(-res.fun)
-                best_x = res.x
+    with timer.phase("hparam_scipy"):
+        for x0 in x0s:
+            for method in scipy_methods:
+                res = minimize(
+                    _objective,
+                    np.asarray(x0, np.float64),
+                    args=(logs_val, y, obj_func, obj_func_args, force_zero, force_one),
+                    method=method,
+                    options={},
+                )
+                if -res.fun > best_val:
+                    best_val = float(-res.fun)
+                    best_x = res.x
 
-    for x0 in x0s:
-        cand = _proxy_lbfgs(logs_val, y, x0, force_zero, force_one)
-        consider(cand)
+    with timer.phase("hparam_proxy_lbfgs"):
+        for x0 in x0s:
+            cand = _proxy_lbfgs(logs_val, y, x0, force_zero, force_one)
+            consider(cand)
 
     gm = grid_to_matrix(grid, force_zero=force_zero)
-    if use_device_grid:
-        f1s = grid_best_f1_device(logs_val, y, gm)
-        # Re-rank the leading candidates under the caller's objective (its
-        # threshold search can order near-ties differently than the exact
-        # device sweep).
-        for row_idx in np.argsort(-f1s)[:8]:
-            consider(gm[int(row_idx)])
-    else:
-        for row in gm:
-            consider(row)
+    with timer.phase("hparam_grid"):
+        if use_device_grid:
+            f1s = grid_best_f1_device(logs_val, y, gm)
+            # Re-rank the leading candidates under the caller's objective
+            # (its threshold search can order near-ties differently than
+            # the exact device sweep).
+            for row_idx in np.argsort(-f1s)[:8]:
+                consider(gm[int(row_idx)])
+        else:
+            for row in gm:
+                consider(row)
 
     assert best_x is not None
     for c, name in enumerate(HPARAM_ORDER):

@@ -241,3 +241,26 @@ def test_detection_config_strict_parity_flag():
     with mock.patch("lemon_tpu.detect.maximize_metric", wraps=maximize_metric) as mm:
         select_and_evaluate(cfg, logs)
         assert mm.call_args.kwargs["use_device_grid"] is False
+
+
+def test_fast_f1_bit_identical_to_sklearn():
+    """_fast_f1 must equal sklearn.metrics.f1_score to the last bit (the
+    fminbound trajectory in optimize_f1_efficient depends on exact values)."""
+    from sklearn.metrics import f1_score
+
+    from lemon_tpu.scoring.thresholds import _fast_f1
+
+    rng = np.random.default_rng(0)
+    for n in (1, 7, 200, 999):
+        for _ in range(20):
+            y = rng.integers(0, 2, n).astype(bool)
+            pred = rng.integers(0, 2, n).astype(bool)
+            a = _fast_f1(y, pred)
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                b = float(f1_score(y, pred))
+            assert a == b, (n, a, b)
+    # degenerate: no positives anywhere
+    assert _fast_f1(np.zeros(5, bool), np.zeros(5, bool)) == 0.0
