@@ -111,6 +111,14 @@ def _objective(x, logs: NeighborLogs, y, obj_func: Callable, obj_args: dict, for
     return -obj_func(y, score, **obj_args)
 
 
+@jax.jit
+def _proxy_val_grad(x, arrays, y_signed, fz, fo):
+    """Module-level jit: one compile serves all L-BFGS restarts and calls
+    (a per-call ``jax.jit(lambda ...)`` recompiled the identical program
+    once per x0 — measured ~5 s each through the remote-TPU tunnel)."""
+    return jax.value_and_grad(soft_margin_proxy_loss)(x, arrays, y_signed, fz, fo)
+
+
 def _proxy_lbfgs(logs: NeighborLogs, y: np.ndarray, x0, force_zero, force_one) -> np.ndarray:
     """Minimize the SoftMarginLoss proxy with JAX autodiff + L-BFGS-B
     (replaces torch LBFGS, lib/metrics/utils.py:129-141)."""
@@ -129,10 +137,8 @@ def _proxy_lbfgs(logs: NeighborLogs, y: np.ndarray, x0, force_zero, force_one) -
     y_signed = jnp.asarray(np.asarray(y, np.float64) * 2 - 1, arrays[0].dtype)
     fz = jnp.asarray([name in force_zero for name in HPARAM_ORDER])
     fo = jnp.asarray([name in force_one for name in HPARAM_ORDER])
-    val_grad = jax.jit(jax.value_and_grad(lambda x: soft_margin_proxy_loss(x, arrays, y_signed, fz, fo)))
-
     def f(x):
-        v, g = val_grad(jnp.asarray(x, arrays[0].dtype))
+        v, g = _proxy_val_grad(jnp.asarray(x, arrays[0].dtype), arrays, y_signed, fz, fo)
         return float(v), np.asarray(g, np.float64)
 
     res = minimize(f, np.asarray(x0, np.float64), jac=True, method="L-BFGS-B", options={"maxiter": 100})
