@@ -469,4 +469,6 @@ def run_detection(cfg: DetectionConfig, out_dir: Optional[Path] = None) -> Dict:
             cols.rename(columns={f"{criteria}_pred_score": "pred_score"}).to_csv(out_dir / f"{criteria}_scores.csv")
         if cfg.skip_hparam_optim:
             (out_dir / "need_hparam_optim").write_text("need_hparam_optim")
-    return res
+    # In-memory extra only — res.pkl keeps the reference's exact
+    # {'df', 'agg_results'} contract (written above, before this key).
+    return {**res, "phase_timing": timing}

@@ -90,7 +90,7 @@ def test_skip_hparam_optim(tmp_path):
         knn_k=3, batch_size=64, synthetic_n=150, knn_tile=64, skip_hparam_optim=True,
     )
     res = run_detection(cfg, tmp_path)
-    assert set(res.keys()) == {"df"}
+    assert set(res.keys()) == {"df", "phase_timing"}  # no agg_results when optim skipped
     assert (tmp_path / "need_hparam_optim").exists()
 
 
