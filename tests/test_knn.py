@@ -147,3 +147,32 @@ def test_blockmax_prefilter_tie_across_blocks():
     d, i = index.search(xq, 6)
     ref_d, ref_i = numpy_search(xb, xq, 6, "ip")
     np.testing.assert_array_equal(i, ref_i)
+
+
+def test_k_exceeds_database(rng):
+    """k > ntotal pads with -inf scores and out-of-range indices (the
+    documented contract; FAISS pads with -1, our callers mask on n_valid)."""
+    xb = rng.standard_normal((5, 8)).astype(np.float32)
+    xq = rng.standard_normal((3, 8)).astype(np.float32)
+    index = ExactKnnIndex(metric="ip")
+    index.add(xb)
+    s, i = index.search(xq, k=9)
+    assert s.shape == (3, 9) and i.shape == (3, 9)
+    ref_s, ref_i = numpy_search(xb, xq, 5, "ip")
+    np.testing.assert_allclose(s[:, :5], ref_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i[:, :5], ref_i)
+    assert np.isneginf(s[:, 5:]).all()
+    assert (i[:, 5:] >= 5).all()
+
+
+def test_duplicate_database_rows(rng):
+    """Duplicate rows produce identical scores and ascending-index ties."""
+    base = rng.standard_normal((4, 8)).astype(np.float32)
+    xb = np.concatenate([base, base])  # every row duplicated
+    xq = base[:2] + 0.01 * rng.standard_normal((2, 8)).astype(np.float32)
+    index = ExactKnnIndex(metric="ip")
+    index.add(xb)
+    s, i = index.search(xq, k=8)
+    ref_s, ref_i = numpy_search(xb, xq, 8, "ip")
+    np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i, ref_i)
