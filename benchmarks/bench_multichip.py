@@ -41,7 +41,10 @@ def main(argv=None):
     if args.platform:
         import os
 
-        os.environ.setdefault("XLA_FLAGS", f"--xla_force_host_platform_device_count={args.devices or 8}")
+        # append (not setdefault): a pre-set XLA_FLAGS must not silently
+        # drop the virtual-device flag
+        flag = f"--xla_force_host_platform_device_count={args.devices or 8}"
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
         import jax
 
         jax.config.update("jax_platforms", args.platform)
@@ -66,12 +69,8 @@ def main(argv=None):
     model, params = init_params(cfg, seed=0, precision=Precision.bf16())
 
     rng = np.random.default_rng(0)
-
-    def timed(fn, *a):
-        t0 = time.perf_counter()
-        out = float(fn(*a))
-        assert np.isfinite(out)
-        return time.perf_counter() - t0
+    # Timing note: encode_images/search return numpy, which forces device
+    # execution — no separate scalar-fetch wrapper is needed here.
 
     widths = []
     w = 1
@@ -101,7 +100,10 @@ def main(argv=None):
         xq = rng.standard_normal((args.queries, xb.shape[1])).astype(np.float32)
         index = ExactKnnIndex(metric="ip", mesh=mesh)
         index.add(xb)
-        index.search(xq[:8], k=args.k)  # compile
+        # Warm with the FULL query shape: the search program (and its
+        # auto_tile static arg) is keyed on it, so a small-query warmup
+        # would leave the real compile inside the timed region.
+        index.search(xq, k=args.k)
         t0 = time.perf_counter()
         index.search(xq, k=args.k)
         knn_rate = n_db * args.queries / (time.perf_counter() - t0)

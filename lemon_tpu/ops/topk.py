@@ -106,7 +106,11 @@ def supports(w: int, k: int) -> bool:
 def pallas_topk(x, k: int, *, block_rows: int = 64, interpret: bool | None = None):
     """Exact (values, indices) top-k along axis 1 of a 2-D fp32 array.
 
-    Drop-in for ``jax.lax.top_k`` (same tie semantics). Rows stream
+    Drop-in for ``jax.lax.top_k`` (same tie semantics), with ONE
+    precondition: inputs must not contain the exact value
+    ``np.finfo(np.float32).min`` — it is the kernel's internal stand-in
+    for -inf and would come back as -inf in ``vals`` (indices unaffected).
+    Similarity/distance scores never reach it. Rows stream
     through VMEM in blocks of ``block_rows``; both dims are padded
     internally, so any (B, W) shape is accepted. Column padding is -inf at
     indices >= W, and since k <= W a row always has W real candidates with

@@ -43,8 +43,20 @@ def _fast_f1(y: np.ndarray, pred: np.ndarray) -> float:
     return 2.0 * tp / denom if denom else 0.0
 
 
+def _as_binary(y) -> np.ndarray:
+    """Validate-and-cast labels once per call (sklearn's f1_score used to
+    raise on non-binary input; keep that misuse loud rather than letting a
+    bool cast silently corrupt threshold selection)."""
+    arr = np.asarray(y)
+    if arr.dtype != np.bool_:
+        if not np.isin(arr, (0, 1)).all():
+            raise ValueError(f"binary labels required, got values outside {{0, 1}} (dtype {arr.dtype})")
+        arr = arr.astype(bool)
+    return arr
+
+
 def optimize_f1(y, score, return_thres: bool = False):
-    y = np.asarray(y, dtype=bool)
+    y = _as_binary(y)
     score = np.asarray(score)
     best_thres, best_f1 = 0.0, 0.0
     for cand in np.linspace(score.min(), score.max(), 100):
@@ -55,7 +67,7 @@ def optimize_f1(y, score, return_thres: bool = False):
 
 
 def optimize_f1_efficient(y, score, return_thres: bool = False):
-    y = np.asarray(y, dtype=bool)
+    y = _as_binary(y)
     score = np.asarray(score)
     thres = fminbound(lambda t: -_fast_f1(y, score >= t), score.min(), score.max(), xtol=1e-8, disp=0)
     f1 = _fast_f1(y, score >= thres)

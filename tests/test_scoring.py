@@ -264,3 +264,16 @@ def test_fast_f1_bit_identical_to_sklearn():
             assert a == b, (n, a, b)
     # degenerate: no positives anywhere
     assert _fast_f1(np.zeros(5, bool), np.zeros(5, bool)) == 0.0
+
+
+def test_threshold_search_rejects_non_binary_labels():
+    from lemon_tpu.scoring.thresholds import optimize_f1_efficient
+
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError):
+        optimize_f1_efficient(np.array([0, 1, 2]), rng.random(3))
+    with pytest.raises(ValueError):
+        optimize_f1_efficient(rng.random(5), rng.random(5))  # continuous
+    # int {0,1} and bool both fine
+    optimize_f1_efficient(np.array([0, 1, 1]), rng.random(3))
+    optimize_f1_efficient(np.array([True, False, True]), rng.random(3))
