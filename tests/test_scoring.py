@@ -277,3 +277,32 @@ def test_threshold_search_rejects_non_binary_labels():
     # int {0,1} and bool both fine
     optimize_f1_efficient(np.array([0, 1, 1]), rng.random(3))
     optimize_f1_efficient(np.array([True, False, True]), rng.random(3))
+
+
+def test_device_proxy_lbfgs_candidates_comparable_to_scipy():
+    """The vmapped on-device optax L-BFGS proxy yields ensemble candidates
+    of the same quality class as the host scipy path (trajectories differ;
+    the ensemble takes best-by-objective, so only quality matters)."""
+    import jax.numpy as jnp
+
+    from lemon_tpu.scoring.optimize import (
+        _objective,
+        _proxy_arrays,
+        _proxy_lbfgs,
+        _proxy_lbfgs_device_batch,
+    )
+    from lemon_tpu.scoring.thresholds import optimize_f1_efficient
+
+    logs = make_logs(300, 5, seed=0)
+    y = np.asarray(logs.is_mislabel)
+    x0s = ((0,) * 6, (0.5,) * 6, (1,) * 6, (10,) * 6)
+    arrays, ys, fz, fo = _proxy_arrays(logs, y, (), ())
+    x0m = jnp.asarray(np.asarray(x0s, np.float64), arrays[0].dtype)
+    dev = np.asarray(_proxy_lbfgs_device_batch(x0m, arrays, ys, fz, fo), np.float64)
+    assert np.isfinite(dev).all() and dev.shape == (4, 6)
+    best_dev = max(-_objective(c, logs, y, optimize_f1_efficient, {}, (), ()) for c in dev)
+    best_scipy = max(
+        -_objective(np.asarray(_proxy_lbfgs(logs, y, x0, (), ())), logs, y, optimize_f1_efficient, {}, (), ())
+        for x0 in x0s
+    )
+    assert best_dev >= best_scipy - 0.02
