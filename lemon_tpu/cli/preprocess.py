@@ -41,6 +41,12 @@ def main(argv=None):
     s.add_argument("--root", required=True)
     s.add_argument("--out", required=True)
 
+    s = sub.add_parser("mimiccxr")
+    s.add_argument("--jpg_root", required=True,
+                   help="MIMIC-CXR-JPG root (contains mimic-cxr-2.0.0-{chexpert,split}.csv.gz)")
+    s.add_argument("--reports", required=True, help="mimic-cxr-reports files/ root")
+    s.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     from lemon_tpu.data import preprocess as pp
 
@@ -54,6 +60,10 @@ def main(argv=None):
         print(f"{len(df)} rows")
     elif args.dataset == "cc3m":
         out = pp.build_cc3m(Path(args.img_dir), Path(args.out))
+    elif args.dataset == "mimiccxr":
+        df = pp.build_mimiccxr(Path(args.jpg_root), Path(args.reports), Path(args.out))
+        out = Path(args.out) / "multimodal_mislabel_split.pkl"
+        print(f"{len(df)} rows")
     else:
         out = pp.build_mmimdb(Path(args.root), Path(args.out))
     print(f"wrote {out}")

@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_SECTION_HEADER = re.compile(r"\n ?([A-Z ()/,-]+):\s")
+_SECTION_HEADER = re.compile(r"(?:^|\n) ?([A-Z ()/,-]+):\s")
 
 # Common radiology section aliases -> canonical names (subset of the
 # reference's normalize_section_names covering the captions path).
@@ -315,4 +315,134 @@ def build_mmimdb(root_dir: Path, out_root: Optional[Path] = None):
     df = _tag_nouns(df, text_col="plot outline")
     if out_root is not None:
         return save_metadata(df, out_root)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# MIMIC-CXR builder (preprocess_mimiccxr.ipynb)
+
+# The 13 CheXpert finding columns used for MIMIC label sets
+# (preprocess_mimiccxr.ipynb cell 4).
+MIMIC_CHEXPERT_LABELS = [
+    "Atelectasis", "Cardiomegaly", "Consolidation", "Edema",
+    "Enlarged Cardiomediastinum", "Fracture", "Lung Lesion", "Lung Opacity",
+    "No Finding", "Pleural Effusion", "Pleural Other", "Pneumonia",
+    "Pneumothorax",
+]
+
+
+def mimic_cxr_custom_rules():
+    """Per-study section overrides for malformed MIMIC-CXR reports.
+
+    Pure data constants (study id -> section name / character span) from
+    the public MIT-licensed MIT-LCP/mimic-cxr repository, which the
+    reference vendors as notebooks/section_parser.py:207-270. Kept
+    verbatim: they name specific PhysioNet studies and cannot be derived.
+    """
+    custom_section_names = {
+        "s50913680": "recommendations", "s59363654": "examination",
+        "s59279892": "technique", "s59768032": "recommendations",
+        "s57936451": "indication", "s50058765": "indication",
+        "s53356173": "examination", "s53202765": "technique",
+        "s50808053": "technique", "s51966317": "indication",
+        "s50743547": "examination", "s56451190": "note",
+        "s59067458": "recommendations", "s59215320": "examination",
+        "s55124749": "indication", "s54365831": "indication",
+        "s59087630": "recommendations", "s58157373": "recommendations",
+        "s56482935": "recommendations", "s58375018": "recommendations",
+        "s54654948": "indication", "s55157853": "examination",
+        "s51491012": "history",
+    }
+    custom_indices = {
+        "s50525523": [201, 349], "s57564132": [233, 554],
+        "s59982525": [313, 717], "s53488209": [149, 475],
+        "s54875119": [234, 988], "s50196495": [59, 399],
+        "s56579911": [59, 218], "s52648681": [292, 631],
+        "s59889364": [172, 453], "s53514462": [73, 377],
+        "s59505494": [59, 450], "s53182247": [59, 412],
+        "s51410602": [47, 320], "s56412866": [522, 822],
+        "s54986978": [59, 306], "s59003148": [262, 505],
+        "s57150433": [61, 394], "s56760320": [219, 457],
+        "s59562049": [158, 348], "s52674888": [145, 296],
+        "s55258338": [192, 568], "s59330497": [140, 655],
+        "s52119491": [179, 454],
+        # no findings at all in the entire report
+        "s58235663": [0, 0], "s50798377": [0, 0], "s54168089": [0, 0],
+        "s53071062": [0, 0], "s56724958": [0, 0], "s54231141": [0, 0],
+        "s53607029": [0, 0], "s52035334": [0, 0],
+    }
+    return custom_section_names, custom_indices
+
+
+def extract_mimic_caption(study_id: str, report: str) -> str:
+    """The notebook's ``parse``: per-study overrides first, then the
+    FINDINGS + IMPRESSION assembly with a last-paragraph fallback when the
+    report has findings but no impression (preprocess_mimiccxr.ipynb)."""
+    names, indices = mimic_cxr_custom_rules()
+    if study_id in indices:
+        i0, i1 = indices[study_id]
+        return "IMPRESSION: \n" + report[i0:i1] + "\n"
+    sections = section_text(report)
+    if study_id in names:
+        return "IMPRESSION: \n" + sections.get(names[study_id], "").strip() + "\n"
+    out = ""
+    if sections.get("findings"):
+        out += "FINDINGS:\n" + sections["findings"] + "\n\n"
+    if sections.get("impression"):
+        out += "IMPRESSION:\n" + sections["impression"] + "\n"
+    else:
+        # 'last_paragraph' stand-in: the report's final blank-line-separated
+        # paragraph, unless it is already the findings body.
+        paras = [p.strip() for p in report.strip().split("\n\n") if p.strip()]
+        if paras and paras[-1] != sections.get("findings", "").strip():
+            out += "IMPRESSION:\n" + paras[-1] + "\n"
+    return out
+
+
+def chexpert_label_sets(df_label):
+    """cat_labels_text / cat_labels from the CheXpert columns: value 1 ->
+    certain_yes_<label>, -1 -> certain_no_<label>, 0 -> uncertain_<label>,
+    NaN -> absent; ints index the fixed certainty x label vocabulary
+    (preprocess_mimiccxr.ipynb cells 5-9)."""
+    all_labels = [p + l for p in ("certain_yes_", "certain_no_", "uncertain_") for l in MIMIC_CHEXPERT_LABELS]
+    mapping = {name: i for i, name in enumerate(all_labels)}
+    value_prefix = {1: "certain_yes_", -1: "certain_no_", 0: "uncertain_"}
+
+    def row_set(row):
+        out = []
+        for prefix_value, prefix in value_prefix.items():
+            for label in MIMIC_CHEXPERT_LABELS:
+                if label in row and row[label] == prefix_value:
+                    out.append(prefix + label)
+        return out
+
+    texts = df_label.apply(row_set, axis=1)
+    return texts, texts.apply(lambda xs: [mapping[x] for x in xs])
+
+
+def build_mimiccxr(jpg_root: Path, reports_root: Path, out_root: Optional[Path] = None):
+    """MIMIC-CXR metadata (preprocess_mimiccxr.ipynb): CheXpert label sets,
+    per-study report captions via the section parser + custom rules, and
+    the official train/validate/test split (validate renamed 'val')."""
+    import pandas as pd
+
+    jpg_root = Path(jpg_root)
+    reports_root = Path(reports_root)
+    df = pd.read_csv(jpg_root / "mimic-cxr-2.0.0-chexpert.csv.gz")
+    df_split = pd.read_csv(jpg_root / "mimic-cxr-2.0.0-split.csv.gz")
+    df["cat_labels_text"], df["cat_labels"] = chexpert_label_sets(df)
+    df["reportfilename"] = [
+        str(reports_root / f"p{str(s)[:2]}" / f"p{s}" / f"s{st}.txt")
+        for s, st in zip(df.subject_id, df.study_id)
+    ]
+    df["sentence_long"] = [Path(p).read_text().strip() for p in df.reportfilename]
+    df = df.merge(df_split, on=["subject_id", "study_id"], how="inner")
+    df.loc[df.split == "validate", "split"] = "val"
+    df["sentence"] = [
+        extract_mimic_caption(f"s{st}", txt) for st, txt in zip(df.study_id, df.sentence_long)
+    ]
+    if out_root is not None:
+        out_root = Path(out_root)
+        out_root.mkdir(parents=True, exist_ok=True)
+        df.to_pickle(out_root / "multimodal_mislabel_split.pkl")
     return df

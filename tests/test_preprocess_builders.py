@@ -162,3 +162,53 @@ def test_build_mmimdb(tmp_path):
     # missing plot outline -> empty string, sentence mirrors it
     assert df[df["title"] == "Movie 5"].iloc[0]["sentence"] == ""
     assert "\n" in df.iloc[0]["all_text"]
+
+
+def test_build_mimiccxr(tmp_path):
+    """MIMIC-CXR builder: CheXpert certainty label sets, report-section
+    captions w/ custom-rule overrides + last-paragraph fallback, split
+    renaming (preprocess_mimiccxr.ipynb)."""
+    from lemon_tpu.data.preprocess import build_mimiccxr, extract_mimic_caption
+
+    jpg = tmp_path / "jpg"
+    reports = tmp_path / "reports"
+    jpg.mkdir()
+    rows = [
+        # (subject, study, Atelectasis, Edema, Pneumonia)
+        (10000001, 50000001, 1.0, -1.0, np.nan),
+        (10000002, 50000002, np.nan, 0.0, 1.0),
+        (11573679, 58235663, 1.0, np.nan, np.nan),  # custom [0,0] -> empty caption
+    ]
+    chex = pd.DataFrame(rows, columns=["subject_id", "study_id", "Atelectasis", "Edema", "Pneumonia"])
+    chex.to_csv(jpg / "mimic-cxr-2.0.0-chexpert.csv.gz", index=False)
+    pd.DataFrame({
+        "subject_id": [r[0] for r in rows],
+        "study_id": [r[1] for r in rows],
+        "split": ["train", "validate", "test"],
+    }).to_csv(jpg / "mimic-cxr-2.0.0-split.csv.gz", index=False)
+    texts = {
+        (10000001, 50000001): "EXAM: chest\n\nFINDINGS: Clear lungs.\n\nIMPRESSION: No acute disease.\n",
+        (10000002, 50000002): "INDICATION: cough\n\nFINDINGS: Mild edema.\n\nStable appearance overall.",
+        (11573679, 58235663): "Nothing useful here.",
+    }
+    for (subj, study), txt in texts.items():
+        d = reports / f"p{str(subj)[:2]}" / f"p{subj}"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"s{study}.txt").write_text(txt)
+
+    df = build_mimiccxr(jpg, reports, out_root=tmp_path / "out")
+    df = pd.read_pickle(tmp_path / "out" / "multimodal_mislabel_split.pkl")
+    assert list(df.split) == ["train", "val", "test"]
+    r0 = df[df.study_id == 50000001].iloc[0]
+    assert "certain_yes_Atelectasis" in r0.cat_labels_text
+    assert "certain_no_Edema" in r0.cat_labels_text
+    assert not any("Pneumonia" in t for t in r0.cat_labels_text)  # NaN absent
+    assert "FINDINGS:" in r0.sentence and "No acute disease." in r0.sentence
+    # impression missing -> last-paragraph fallback
+    r1 = df[df.study_id == 50000002].iloc[0]
+    assert "IMPRESSION:" in r1.sentence and "Stable appearance overall." in r1.sentence
+    # custom [0,0] index override -> empty-body IMPRESSION
+    r2 = df[df.study_id == 58235663].iloc[0]
+    assert r2.sentence.strip() == "IMPRESSION:"
+    # ints match the certainty x label vocabulary positions
+    assert extract_mimic_caption("s51966317", "INDICATION: chest pain\n\nFINDINGS: x\n").startswith("IMPRESSION: \nchest pain")
