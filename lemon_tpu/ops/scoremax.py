@@ -131,6 +131,10 @@ def fused_scores_blockmax(
     *,
     start=0,
     n_valid: int | None = None,
+    # Tiling swept on v5e: (128, 1024) is ~5% faster kernel-alone for fp32
+    # but regresses the full bf16x3 search (13.6 -> 12.1 B pairs/s) and
+    # buys nothing end-to-end for fp32; (512, *) and (*, 2048) exceed the
+    # 16MB VMEM. (256, 1024) is the balanced default.
     block_rows: int = 256,
     tile_cols: int = 1024,
     precision: str = "highest",
