@@ -374,28 +374,37 @@ def mimic_cxr_custom_rules():
     return custom_section_names, custom_indices
 
 
+_MIMIC_CUSTOM_NAMES, _MIMIC_CUSTOM_INDICES = mimic_cxr_custom_rules()
+
+
 def extract_mimic_caption(study_id: str, report: str) -> str:
     """The notebook's ``parse``: per-study overrides first, then the
-    FINDINGS + IMPRESSION assembly with a last-paragraph fallback when the
-    report has findings but no impression (preprocess_mimiccxr.ipynb)."""
-    names, indices = mimic_cxr_custom_rules()
-    if study_id in indices:
-        i0, i1 = indices[study_id]
+    FINDINGS + IMPRESSION assembly with the last-paragraph fallback
+    (preprocess_mimiccxr.ipynb). Reference quirks kept deliberately:
+
+    - the character spans in custom_indices apply to the .strip()ped
+      report text, exactly as the notebook does (sentence_long =
+      read().strip() before parse);
+    - the [0, 0] 'no findings at all' studies yield ``'IMPRESSION: \n\n'``
+      — a non-empty string the reference's loader keeps
+      (lib/datasets/utils.py:293 filters only len == 0).
+    """
+    if study_id in _MIMIC_CUSTOM_INDICES:
+        i0, i1 = _MIMIC_CUSTOM_INDICES[study_id]
         return "IMPRESSION: \n" + report[i0:i1] + "\n"
     sections = section_text(report)
-    if study_id in names:
-        return "IMPRESSION: \n" + sections.get(names[study_id], "").strip() + "\n"
-    out = ""
-    if sections.get("findings"):
-        out += "FINDINGS:\n" + sections["findings"] + "\n\n"
-    if sections.get("impression"):
-        out += "IMPRESSION:\n" + sections["impression"] + "\n"
-    else:
-        # 'last_paragraph' stand-in: the report's final blank-line-separated
-        # paragraph, unless it is already the findings body.
-        paras = [p.strip() for p in report.strip().split("\n\n") if p.strip()]
-        if paras and paras[-1] != sections.get("findings", "").strip():
-            out += "IMPRESSION:\n" + paras[-1] + "\n"
+    if study_id in _MIMIC_CUSTOM_NAMES:
+        return "IMPRESSION: \n" + sections.get(_MIMIC_CUSTOM_NAMES[study_id], "").strip() + "\n"
+    out = extract_report_caption(report)
+    if not sections.get("findings") and not sections.get("impression"):
+        # MIT-LCP's 'last_paragraph' (section_parser.py:80-87): ONLY when
+        # neither findings nor impression parsed — the tail of the final
+        # section after the first '\n \n' separator; absent otherwise.
+        last = list(sections.values())[-1] if sections else ""
+        if "\n \n" in last:
+            lp = "\n \n".join(last.split("\n \n")[1:]).strip()
+            if lp:
+                out += "IMPRESSION:\n" + lp + "\n"
     return out
 
 
@@ -403,7 +412,11 @@ def chexpert_label_sets(df_label):
     """cat_labels_text / cat_labels from the CheXpert columns: value 1 ->
     certain_yes_<label>, -1 -> certain_no_<label>, 0 -> uncertain_<label>,
     NaN -> absent; ints index the fixed certainty x label vocabulary
-    (preprocess_mimiccxr.ipynb cells 5-9)."""
+    (preprocess_mimiccxr.ipynb cells 5-9). NOTE: the notebook's -1/0
+    naming inverts the MIMIC-CXR-JPG data dictionary (where 0.0 is the
+    negative mention and -1.0 the uncertain one); kept verbatim because
+    downstream only consumes the integer bijection and parity with the
+    reference's label sets is the contract."""
     all_labels = [p + l for p in ("certain_yes_", "certain_no_", "uncertain_") for l in MIMIC_CHEXPERT_LABELS]
     mapping = {name: i for i, name in enumerate(all_labels)}
     value_prefix = {1: "certain_yes_", -1: "certain_no_", 0: "uncertain_"}
@@ -435,12 +448,14 @@ def build_mimiccxr(jpg_root: Path, reports_root: Path, out_root: Optional[Path] 
         str(reports_root / f"p{str(s)[:2]}" / f"p{s}" / f"s{st}.txt")
         for s, st in zip(df.subject_id, df.study_id)
     ]
+    # Read + parse per STUDY before the per-dicom split merge fans rows out
+    # (~377k dicoms vs ~227k studies on the real corpus).
     df["sentence_long"] = [Path(p).read_text().strip() for p in df.reportfilename]
-    df = df.merge(df_split, on=["subject_id", "study_id"], how="inner")
-    df.loc[df.split == "validate", "split"] = "val"
     df["sentence"] = [
         extract_mimic_caption(f"s{st}", txt) for st, txt in zip(df.study_id, df.sentence_long)
     ]
+    df = df.merge(df_split, on=["subject_id", "study_id"], how="inner")
+    df.loc[df.split == "validate", "split"] = "val"
     if out_root is not None:
         out_root = Path(out_root)
         out_root.mkdir(parents=True, exist_ok=True)

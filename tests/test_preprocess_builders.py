@@ -188,7 +188,9 @@ def test_build_mimiccxr(tmp_path):
     }).to_csv(jpg / "mimic-cxr-2.0.0-split.csv.gz", index=False)
     texts = {
         (10000001, 50000001): "EXAM: chest\n\nFINDINGS: Clear lungs.\n\nIMPRESSION: No acute disease.\n",
-        (10000002, 50000002): "INDICATION: cough\n\nFINDINGS: Mild edema.\n\nStable appearance overall.",
+        # no findings/impression sections; final paragraph after a '\n \n'
+        # separator becomes the IMPRESSION (MIT-LCP last_paragraph rule)
+        (10000002, 50000002): "INDICATION: cough\n \nStable appearance overall.",
         (11573679, 58235663): "Nothing useful here.",
     }
     for (subj, study), txt in texts.items():
@@ -204,9 +206,15 @@ def test_build_mimiccxr(tmp_path):
     assert "certain_no_Edema" in r0.cat_labels_text
     assert not any("Pneumonia" in t for t in r0.cat_labels_text)  # NaN absent
     assert "FINDINGS:" in r0.sentence and "No acute disease." in r0.sentence
-    # impression missing -> last-paragraph fallback
+    # neither findings nor impression -> last-paragraph fallback
     r1 = df[df.study_id == 50000002].iloc[0]
     assert "IMPRESSION:" in r1.sentence and "Stable appearance overall." in r1.sentence
+    assert "FINDINGS:" not in r1.sentence
+    # a findings-only report does NOT duplicate its tail into IMPRESSION
+    from lemon_tpu.data.preprocess import extract_mimic_caption as emc
+
+    cap = emc("s99999999", "FINDINGS: Mild edema.\n\nStable appearance overall.")
+    assert cap.count("Stable appearance overall.") == 1 and "IMPRESSION" not in cap
     # custom [0,0] index override -> empty-body IMPRESSION
     r2 = df[df.study_id == 58235663].iloc[0]
     assert r2.sentence.strip() == "IMPRESSION:"
