@@ -74,3 +74,22 @@ def test_run_judges_vdc_hf_contract(ckpts, tmp_path):
     res = pickle.load(open(out / "res.pkl", "rb"))
     scores = res["df"]["pred_score"].to_numpy()
     assert ((scores >= 0) & (scores <= 1)).all()
+
+
+def test_run_judges_get_expl_contract(tmp_path):
+    """--get_expl: raw explanation replies to scores.csv, no score eval
+    (run_llava.py:97-99,179-199)."""
+    import pandas as pd
+
+    from lemon_tpu.cli.run_judges import main
+
+    out = tmp_path / "expl"
+    main([
+        "--judge", "llava", "--output_dir", str(out), "--backend", "echo",
+        "--get_expl", "--synthetic_n", "60", "--debug",
+    ])
+    assert (out / "done").exists()
+    df = pd.read_csv(out / "scores.csv")
+    assert "raw_output" in df.columns and "pred_score" not in df.columns
+    assert set(df.sset.unique()) == {"val", "test"}
+    assert not (out / "res.pkl").exists()  # no eval artifacts in expl mode
