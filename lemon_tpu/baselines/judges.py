@@ -52,13 +52,35 @@ def llava_mislabel_score(reply: str, first_token_prob: float) -> Tuple[int, floa
 def run_llava_judge(
     images,
     captions: Sequence[str],
-    vlm_generate: Callable,
+    vlm_generate: Optional[Callable] = None,
     explain: bool = False,
+    vlm_generate_batch: Optional[Callable] = None,
+    batch_size: int = 1,
 ) -> List[Dict]:
+    """Judge every (image, caption) pair.
+
+    ``vlm_generate_batch(images, prompts) -> [(text, prob), ...]``, when
+    provided, is called on chunks of ``batch_size`` pairs instead of the
+    per-sample ``vlm_generate`` — the reference loops one sample at a time
+    (run_llava.py:128-143); batching is a throughput upgrade with identical
+    scoring semantics."""
     query = LLAVA_QUERY_EXPLAIN if explain else LLAVA_QUERY
+    prompts = [query % caption for caption in captions]
+    replies: List[Tuple[str, float]] = []
+    if vlm_generate_batch is not None and batch_size > 1:
+        for start in range(0, len(prompts), batch_size):
+            replies.extend(
+                vlm_generate_batch(
+                    list(images[start:start + batch_size]),
+                    prompts[start:start + batch_size],
+                )
+            )
+    else:
+        if vlm_generate is None:
+            raise ValueError("need vlm_generate or (vlm_generate_batch, batch_size>1)")
+        replies = [vlm_generate(image, prompt) for image, prompt in zip(images, prompts)]
     logs = []
-    for image, caption in zip(images, captions):
-        reply, prob = vlm_generate(image, query % caption)
+    for reply, prob in replies:
         entry = {"raw_output": reply}
         if not explain:
             entry["pred"], entry["score"] = llava_mislabel_score(reply, prob)
@@ -165,15 +187,28 @@ class VdcPipeline:
     llm_generate: Callable
     vlm_answer: Callable  # (image, question) -> answer text
     specific_qa: Optional[Dict[str, List[Tuple[str, str]]]] = None  # label -> [(q, a)]
+    # (images, questions) -> [answer text]; when set, all of an example's
+    # questions (≤6 common + class-specific) are answered in one batched
+    # VLM call instead of one call per question.
+    vlm_answer_batch: Optional[Callable] = None
 
     def score_example(self, image, caption: str, label: Optional[str] = None, clf: bool = False) -> Dict:
         questions = generate_questions(caption, self.llm_generate, clf=clf)
-        common_responses = [self.vlm_answer(image, q) for q in questions]
-        specific_responses, specific_answers = [], []
+        specific = []
         if self.specific_qa and label is not None and label in self.specific_qa:
-            for question, answer in self.specific_qa[label]:
-                specific_responses.append(self.vlm_answer(image, question))
-                specific_answers.append(answer)
+            specific = list(self.specific_qa[label])
+        specific_answers = [answer for _, answer in specific]
+        if self.vlm_answer_batch is not None:
+            all_questions = questions + [question for question, _ in specific]
+            all_responses = (
+                self.vlm_answer_batch([image] * len(all_questions), all_questions)
+                if all_questions else []
+            )
+            common_responses = all_responses[:len(questions)]
+            specific_responses = all_responses[len(questions):]
+        else:
+            common_responses = [self.vlm_answer(image, q) for q in questions]
+            specific_responses = [self.vlm_answer(image, question) for question, _ in specific]
         score = vdc_score(caption, common_responses, specific_responses, specific_answers, self.llm_generate)
         return {
             "questions": questions,

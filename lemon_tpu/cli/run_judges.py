@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument("--specific_qa_csv", default=None, help="VDC per-class QA csv")
     p.add_argument("--max_new_tokens", type=int, default=512,
                    help="generation budget (run_llava.py:143); lower for tiny test checkpoints")
+    p.add_argument("--generate_batch_size", type=int, default=1,
+                   help="pairs (llava) / questions (vdc) per generate call; "
+                        ">1 enables left-padded batched decoding — identical "
+                        "scoring semantics, fewer forward dispatches than the "
+                        "reference's per-sample loop")
     return p
 
 
@@ -65,19 +70,35 @@ def _echo_backends():
             return "Is the subject visible?\nIs the scene consistent with the caption?"
         return "yes" if hash(prompt) % 2 == 0 else "no"
 
-    return vlm_generate, vlm_answer, llm_generate
+    def vlm_generate_batch(images, prompts):
+        return [vlm_generate(im, p) for im, p in zip(images, prompts)]
+
+    def vlm_answer_batch(images, questions):
+        return [vlm_answer(im, q) for im, q in zip(images, questions)]
+
+    return vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch
 
 
 def _hf_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=512):
     """Real HuggingFace backends with reference-faithful answer
     probabilities: greedy generate with output_scores, P(first content
     token) = exp(transition_scores[1]) with a 0.5 fallback for one-token
-    replies (run_llava.py:140-161)."""
+    replies (run_llava.py:140-161).
+
+    The batched entry points (``vlm_generate_batch``/``vlm_answer_batch``)
+    left-pad the prompts and run one generate per chunk — same greedy
+    decode and per-row transition scores, fewer forward dispatches than
+    the reference's one-sample loop (run_llava.py:128-143)."""
     import torch
     from transformers import AutoModelForImageTextToText, AutoProcessor
 
     vlm = AutoModelForImageTextToText.from_pretrained(vlm_checkpoint, dtype=torch.float32).eval()
     processor = AutoProcessor.from_pretrained(vlm_checkpoint)
+    # decoder-only batched generation needs left padding so every row's
+    # last prompt token abuts its first generated token
+    processor.tokenizer.padding_side = "left"
+    if processor.tokenizer.pad_token_id is None:
+        processor.tokenizer.pad_token = processor.tokenizer.eos_token
 
     def _format(prompt):
         try:
@@ -87,26 +108,55 @@ def _hf_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=512):
             # llava-v1 conversation style (run_llava.py:129-132)
             return f"USER: <image>\n{prompt} ASSISTANT:"
 
+    def _row_lengths(gen):
+        """Generated tokens per row = up to and including the first EOS
+        (rows that finish early are pad-filled by generate)."""
+        eos = processor.tokenizer.eos_token_id
+        eos_ids = set(eos if isinstance(eos, (list, tuple)) else [eos])
+        lengths = []
+        for row in gen.tolist():
+            n = len(row)
+            for j, tok in enumerate(row):
+                if tok in eos_ids:
+                    n = j + 1
+                    break
+            lengths.append(n)
+        return lengths
+
     @torch.inference_mode()
-    def _vlm_run(image, prompt):
-        inputs = processor(images=np.asarray(image), text=_format(prompt), return_tensors="pt")
+    def _vlm_run_batch(images, prompts):
+        inputs = processor(
+            images=[np.asarray(im) for im in images],
+            text=[_format(p) for p in prompts],
+            return_tensors="pt", padding=True,
+        )
         out = vlm.generate(
             **inputs, do_sample=False, max_new_tokens=max_new_tokens,
             return_dict_in_generate=True, output_scores=True,
         )
         gen = out.sequences[:, inputs["input_ids"].shape[1]:]
-        text = processor.batch_decode(gen, skip_special_tokens=True)[0].strip()
+        texts = [t.strip() for t in processor.batch_decode(gen, skip_special_tokens=True)]
         ts = vlm.compute_transition_scores(
             out.sequences, out.scores, normalize_logits=True
-        ).cpu().numpy()[0]
-        prob = float(np.exp(ts[1])) if len(ts) > 1 else 0.5
-        return text, prob
+        ).cpu().numpy()
+        lengths = _row_lengths(gen)
+        probs = [
+            float(np.exp(ts[i, 1])) if lengths[i] > 1 else 0.5
+            for i in range(len(texts))
+        ]
+        return list(zip(texts, probs))
 
     def vlm_generate(image, prompt):
-        return _vlm_run(image, prompt)
+        return _vlm_run_batch([image], [prompt])[0]
+
+    def vlm_generate_batch(images, prompts):
+        return _vlm_run_batch(images, prompts)
 
     def vlm_answer(image, question):
-        return _vlm_run(image, question)[0]
+        return _vlm_run_batch([image], [question])[0][0]
+
+    def vlm_answer_batch(images, questions):
+        return [text for text, _ in _vlm_run_batch(images, questions)]
 
     llm_generate = None
     if llm_checkpoint:
@@ -121,7 +171,7 @@ def _hf_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=512):
             out = llm.generate(**ids, do_sample=False, max_new_tokens=max_new_tokens)
             return llm_tok.decode(out[0, ids["input_ids"].shape[1]:], skip_special_tokens=True)
 
-    return vlm_generate, vlm_answer, llm_generate
+    return vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch
 
 
 def main(argv=None):
@@ -150,7 +200,7 @@ def main(argv=None):
     dump_args(out_dir, vars(args))
 
     if args.backend == "echo":
-        vlm_generate, vlm_answer, llm_generate = _echo_backends()
+        vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch = _echo_backends()
     else:
         if not args.vlm_checkpoint or not Path(args.vlm_checkpoint).exists():
             raise SystemExit(
@@ -158,7 +208,7 @@ def main(argv=None):
                 "checkpoint directory (no network in this environment); use "
                 "--backend echo to exercise the pipeline without models."
             )
-        vlm_generate, vlm_answer, llm_generate = _hf_backends(
+        vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch = _hf_backends(
             args.vlm_checkpoint, args.llm_checkpoint, max_new_tokens=args.max_new_tokens
         )
         if args.judge == "vdc" and llm_generate is None:
@@ -178,7 +228,11 @@ def main(argv=None):
         images = load_images(split, np.arange(len(split)))
         captions = list(split.sentence)
         if args.judge == "llava":
-            logs = run_llava_judge(list(images), captions, vlm_generate, explain=args.get_expl)
+            logs = run_llava_judge(
+                list(images), captions, vlm_generate, explain=args.get_expl,
+                vlm_generate_batch=vlm_generate_batch,
+                batch_size=args.generate_batch_size,
+            )
             if args.get_expl:
                 # Explanation mode: dump raw replies, skip scoring entirely
                 # (reference writes the df and exits the eval branch,
@@ -194,7 +248,10 @@ def main(argv=None):
                 continue
             scores = [l["score"] for l in logs]
         else:
-            pipe = VdcPipeline(llm_generate=llm_generate, vlm_answer=vlm_answer, specific_qa=specific_qa)
+            pipe = VdcPipeline(
+                llm_generate=llm_generate, vlm_answer=vlm_answer, specific_qa=specific_qa,
+                vlm_answer_batch=vlm_answer_batch if args.generate_batch_size > 1 else None,
+            )
             scores = [pipe.score_example(images[i], captions[i])["score"] for i in range(len(split))]
         rows.append(pd.DataFrame({
             "sset": sset,

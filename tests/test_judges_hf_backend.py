@@ -28,7 +28,7 @@ def test_hf_backend_transition_scores(ckpts):
     from lemon_tpu.cli.run_judges import _hf_backends
 
     vlm_dir, _ = ckpts
-    vlm_generate, vlm_answer, _ = _hf_backends(vlm_dir, None, max_new_tokens=8)
+    vlm_generate, vlm_answer, _, _, _ = _hf_backends(vlm_dir, None, max_new_tokens=8)
     img = np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8)
     text, prob = vlm_generate(img, 'The proposed caption for this image is "a dog". Is this caption correct?')
     assert isinstance(text, str)
@@ -38,6 +38,55 @@ def test_hf_backend_transition_scores(ckpts):
     text2, prob2 = vlm_generate(img, 'The proposed caption for this image is "a dog". Is this caption correct?')
     assert (text2, prob2) == (text, prob)
     assert isinstance(vlm_answer(img, "Is there a dog?"), str)
+
+
+def test_hf_batched_generation_matches_per_sample(ckpts):
+    """Left-padded batched decoding reproduces the per-sample greedy path:
+    same texts, same first-content-token probabilities — batching is a
+    dispatch-count optimization, not a semantic change."""
+    from lemon_tpu.cli.run_judges import _hf_backends
+
+    vlm_dir, _ = ckpts
+    vlm_generate, _, _, vlm_generate_batch, vlm_answer_batch = _hf_backends(
+        vlm_dir, None, max_new_tokens=8)
+    rng = np.random.default_rng(1)
+    images = [rng.integers(0, 255, (32, 32, 3)).astype(np.uint8) for _ in range(4)]
+    # different-length prompts force real padding in the batched call
+    prompts = [
+        'The proposed caption for this image is "a dog". Is this caption correct?',
+        'Caption: "cat". Correct?',
+        'The proposed caption for this image is "a very long caption about a '
+        'scenic mountain vista at dusk". Is this caption correct? Only answer '
+        'with "Yes" or "No".',
+        'Is this a bird?',
+    ]
+    single = [vlm_generate(im, p) for im, p in zip(images, prompts)]
+    batched = vlm_generate_batch(images, prompts)
+    for (t1, p1), (t2, p2) in zip(single, batched):
+        assert t1 == t2
+        assert abs(p1 - p2) < 1e-5
+    answers = vlm_answer_batch(images, prompts)
+    assert answers == [t for t, _ in single]
+
+
+def test_run_judges_llava_hf_batched_contract(ckpts, tmp_path):
+    """CLI end-to-end with --generate_batch_size > 1 writes the same
+    contract and matches the per-sample run's scores exactly."""
+    from lemon_tpu.cli.run_judges import main
+
+    vlm_dir, _ = ckpts
+    outs = {}
+    for bs in (1, 8):
+        out = tmp_path / f"llava_bs{bs}"
+        main([
+            "--judge", "llava", "--output_dir", str(out), "--backend", "hf",
+            "--vlm_checkpoint", vlm_dir, "--synthetic_n", "60", "--debug",
+            "--max_new_tokens", "6", "--generate_batch_size", str(bs),
+        ])
+        assert (out / "done").exists()
+        outs[bs] = pickle.load(open(out / "res.pkl", "rb"))["df"]
+    np.testing.assert_allclose(
+        outs[1]["pred_score"].to_numpy(), outs[8]["pred_score"].to_numpy(), atol=1e-5)
 
 
 def test_run_judges_llava_hf_contract(ckpts, tmp_path):
