@@ -116,7 +116,12 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
     (_tile_topk) and the fused-Pallas path (fused_scores_blockmax feeds
     this directly)."""
     b, n_blocks, _ = sb.shape
-    _, block_ids = jax.lax.top_k(bmax, k)  # (B, k), first-occurrence ties
+    if use_pallas and _topk_supports(n_blocks, k):
+        # Same iterative kernel as the candidate stage; identical tie
+        # semantics to lax.top_k (first occurrence == ascending block id).
+        _, block_ids = pallas_topk(bmax, k)
+    else:
+        _, block_ids = jax.lax.top_k(bmax, k)  # (B, k), first-occurrence ties
     # Sorting the k block ids (tiny) puts the gathered candidates in
     # ascending column order, so the final top-k's first-occurrence tie
     # rule equals the ascending-index tiebreak — no wide argsort needed.

@@ -121,6 +121,21 @@ def test_vdc_pipeline_end_to_end():
     assert good["score"] < bad["score"]
     assert len(good["questions"]) == 2
 
+    # Batched VQA path: one call answers all of an example's questions
+    # (common + specific) and reproduces the per-question results exactly.
+    calls = []
+
+    def fake_vlm_batch(images, questions):
+        calls.append(len(questions))
+        return [fake_vlm(im, q) for im, q in zip(images, questions)]
+
+    batched = VdcPipeline(llm_generate=fake_llm, vlm_answer=fake_vlm,
+                          vlm_answer_batch=fake_vlm_batch,
+                          specific_qa={"cat": [("How many legs?", "4")]})
+    assert batched.score_example("cat", "a photo of a cat", label="cat") == good
+    assert batched.score_example("dog", "a photo of a cat", label="cat") == bad
+    assert calls == [3, 3]  # 2 common + 1 specific, one VLM call per example
+
 
 # ---------------------------------------------------------------------------
 # preprocessing
