@@ -116,12 +116,11 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
     (_tile_topk) and the fused-Pallas path (fused_scores_blockmax feeds
     this directly)."""
     b, n_blocks, _ = sb.shape
-    if use_pallas and _topk_supports(n_blocks, k):
-        # Same iterative kernel as the candidate stage; identical tie
-        # semantics to lax.top_k (first occurrence == ascending block id).
-        _, block_ids = pallas_topk(bmax, k)
-    else:
-        _, block_ids = jax.lax.top_k(bmax, k)  # (B, k), first-occurrence ties
+    # bmax top-k stays on lax.top_k: at the auto_tile widths (n_blocks
+    # 512-1024) the Pallas iterative kernel's k sequential passes lose to
+    # XLA's sort (A/B on-chip: 11.27 lax vs 11.04 B pairs/s pallas at
+    # tile 64k, k=51) — the kernel only pays at the k*128 candidate width.
+    _, block_ids = jax.lax.top_k(bmax, k)  # (B, k), first-occurrence ties
     # Sorting the k block ids (tiny) puts the gathered candidates in
     # ascending column order, so the final top-k's first-occurrence tie
     # rule equals the ascending-index tiebreak — no wide argsort needed.
