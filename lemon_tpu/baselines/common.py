@@ -20,6 +20,10 @@ from lemon_tpu.scoring import eval_metrics
 class BaselineConfig(DetectionConfig):
     method: str = ""  # baseline-specific
     temperature: float = 1.0  # CLIP-logits softmax temperature (README.md:65-70)
+    # capfilt: local BLIP-ITM checkpoint dir (Salesforce/blip-itm-base-coco
+    # role, run_capfilt_baseline.py:35-70). Distinct from ``checkpoint``,
+    # which create_encoder consumes as CLIP weights.
+    itm_checkpoint: Optional[str] = None
 
 
 def setup(cfg: BaselineConfig, splits=None, encoder=None):

@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="", help="discrepancy: dis_y|dis_x|div_y|div_x")
     p.add_argument("--temperature", type=float, default=1.0, help="zero-shot softmax temperature")
     p.add_argument("--epochs", type=int, default=10, help="aum/datamap training epochs")
+    p.add_argument("--itm_checkpoint", default=None,
+                   help="capfilt: local BLIP-ITM checkpoint dir (falls back to the CLIP proxy head)")
     return p
 
 
@@ -60,6 +62,7 @@ def main(argv=None):
         debug=args.debug, skip_train=args.skip_train, synthetic_n=args.synthetic_n,
         knn_tile=args.knn_tile, checkpoint=args.checkpoint,
         method=args.method, temperature=args.temperature,
+        itm_checkpoint=args.itm_checkpoint,
     )
 
     if args.baseline == "clip_sim":

@@ -123,6 +123,28 @@ def test_capfilt_with_proxy_head(tmp_path):
     assert res["agg_results"]["test"]["AUROC"] > 0.55
 
 
+def test_capfilt_hf_blip_itm_end_to_end(tmp_path):
+    """The gated HF path runs for real: a tiny architecturally-real
+    BLIP-ITM checkpoint (BlipForImageTextRetrieval + BlipProcessor) drives
+    hf_blip_itm_scorer through run_capfilt — the reference's
+    Salesforce/blip-itm-base-coco role (run_capfilt_baseline.py:35-70)
+    exercised end-to-end, not just written."""
+    pytest.importorskip("transformers")
+    pytest.importorskip("torch")
+    from tiny_checkpoints import build_tiny_blip_itm
+
+    from lemon_tpu.baselines.capfilt import run_capfilt
+
+    ckpt = build_tiny_blip_itm(tmp_path / "blip_itm")
+    out = tmp_path / "out"
+    res = run_capfilt(caption_cfg(itm_checkpoint=ckpt), out)
+    assert (out / "full_loss_dict.pkl").exists()
+    scores = res["df"]["pred_score"].to_numpy()
+    assert np.isfinite(scores).all()
+    assert ((scores >= 0) & (scores <= 1)).all()
+    assert len(np.unique(scores)) > 1  # real per-pair ITM softmax probs
+
+
 def test_capfilt_custom_scorer():
     from lemon_tpu.baselines.capfilt import run_capfilt
 

@@ -98,6 +98,56 @@ def build_tiny_vlm(out_dir) -> str:
     return str(out_dir)
 
 
+def build_tiny_blip_itm(out_dir) -> str:
+    """BLIP image-text-retrieval checkpoint (the CapFilt ITM scorer's
+    architecture, Salesforce/blip-itm-base-coco role) at toy scale: vision
+    tower + text encoder with cross-attention + the 2-way itm_score head.
+    Drives the real AutoProcessor/BlipForImageTextRetrieval path in
+    baselines/capfilt.py:hf_blip_itm_scorer."""
+    import torch
+    from transformers import (
+        BertTokenizerFast,
+        BlipConfig,
+        BlipForImageTextRetrieval,
+        BlipImageProcessor,
+        BlipProcessor,
+        BlipTextConfig,
+        BlipVisionConfig,
+    )
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # BLIP's text side is BERT-style; build a tiny WordPiece vocab.
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[DEC]", "[ENC]"] + [
+        w for line in _CORPUS for w in line.lower().replace('"', " ").replace(".", " ").split()
+    ]
+    seen = []
+    for w in vocab:
+        if w not in seen:
+            seen.append(w)
+    (out_dir / "vocab.txt").write_text("\n".join(seen) + "\n")
+    tok = BertTokenizerFast(str(out_dir / "vocab.txt"))
+    txt = BlipTextConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, encoder_hidden_size=32, vocab_size=len(tok),
+        max_position_embeddings=64,
+    )
+    vis = BlipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8,
+    )
+    cfg = BlipConfig(text_config=txt.to_dict(), vision_config=vis.to_dict(), image_text_hidden_size=16)
+    torch.manual_seed(2)
+    model = BlipForImageTextRetrieval(cfg)
+    processor = BlipProcessor(
+        image_processor=BlipImageProcessor(size={"height": 32, "width": 32}),
+        tokenizer=tok,
+    )
+    model.save_pretrained(str(out_dir))
+    processor.save_pretrained(str(out_dir))
+    return str(out_dir)
+
+
 def build_tiny_llm(out_dir) -> str:
     """Plain Llama causal LM sharing the tiny tokenizer."""
     import torch
