@@ -41,6 +41,13 @@ def build_parser():
     p.add_argument("--platform", default=None)
     p.add_argument("--synthetic_n", type=int, default=300)
     p.add_argument("--model_size", default="tiny", choices=["tiny", "vit_b32"])
+    p.add_argument("--cifar10_corruption_name", default=None,
+                   help="with --epochs 0: evaluate trained checkpoints on this "
+                        "CIFAR-10-C corruption (robustness mode, "
+                        "train_downstream_classification.py:221-233,355-358)")
+    p.add_argument("--eval_checkpoints", nargs="*", default=None,
+                   help="ckpt.msgpack files from prior runs for the "
+                        "robustness eval (reference intent: 3 seeds)")
     return p
 
 
@@ -67,9 +74,36 @@ def main(argv=None):
     np.random.seed(args.seed)
     dump_args(out_dir, vars(args))
 
+    if args.cifar10_corruption_name and args.epochs == 0:
+        # Robustness inference mode: no training, no filtering — evaluate
+        # existing checkpoints on the corrupted test set.
+        from lemon_tpu.data.labels import LABEL_SETS
+        from lemon_tpu.train.downstream import DownstreamConfig, evaluate_cifar10c
+
+        assert args.task == "classification", "cifar10c eval is a classification mode"
+        assert args.eval_checkpoints, "--epochs 0 robustness mode needs --eval_checkpoints"
+        model_cfg = ClipConfig.tiny() if args.model_size == "tiny" else ClipConfig.vit_b32()
+        cfg = DownstreamConfig(
+            num_classes=len(LABEL_SETS["cifar10"]), batch_size=args.batch_size,
+            seed=args.seed, model_cfg=model_cfg,
+        )
+        test_split = None
+        if args.dataset.startswith("synthetic"):
+            # test fixtures: corrupted split stands in via the synthetic set
+            test_split = get_dataset(args.dataset, args.data_seed, noise_level=0.0,
+                                     synthetic_n=args.synthetic_n)[2]
+        results = evaluate_cifar10c(
+            cfg, args.eval_checkpoints, args.cifar10_corruption_name, out_dir,
+            test_split=test_split,
+        )
+        for mc, r in results.items():
+            print(f"model {mc}: avg {r['average_accuracy']:.4f} worst {r['worst_accuracy']:.4f}")
+        return
+
     splits = dict(zip(("train", "val", "test"), get_dataset(
         args.dataset, args.data_seed, noise_level=args.noise_level,
         noise_type=args.noise_type, synthetic_n=args.synthetic_n,
+        corruption_name=args.cifar10_corruption_name,
     )))
 
     scores = None

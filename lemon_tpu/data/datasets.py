@@ -184,6 +184,35 @@ def _load_cifar_pickles(name: str, train: bool) -> Tuple[np.ndarray, np.ndarray]
     return np.ascontiguousarray(x), np.concatenate(ys)
 
 
+def load_cifar10c(corruption_name: str, severity: int | None = None) -> ClassificationSplit:
+    """CIFAR-10-C corrupted test set (Hendrycks & Dietterich release):
+    ``CIFAR-10-C/{corruption}.npy`` stacks 10k test images at severities
+    1-5 (50k rows, NHWC uint8) with a shared ``labels.npy``.
+
+    The reference's downstream robustness path intends this loader —
+    train_downstream_classification.py:136-138 passes
+    ``cifar10_corruption_name`` to get_dataset, where the kwarg does not
+    exist (SURVEY §7 item 7: reconstruct the obviously-missing piece).
+    Labels are clean (y_clean == y_noisy): this is an eval-only split."""
+    for base in (data_root() / "CIFAR-10-C", data_root() / "cifar10c"):
+        if base.exists():
+            break
+    else:
+        raise FileNotFoundError(
+            f"CIFAR-10-C not found under {data_root()}; extract the "
+            "https://zenodo.org/record/2535967 archive there."
+        )
+    images = np.load(base / f"{corruption_name}.npy")
+    labels = np.load(base / "labels.npy").astype(np.int64)
+    assert images.ndim == 4 and len(images) == len(labels), images.shape
+    if severity is not None:
+        assert 1 <= severity <= 5, severity
+        per = len(images) // 5
+        sl = slice((severity - 1) * per, severity * per)
+        images, labels = images[sl], labels[sl]
+    return ClassificationSplit(y_clean=labels, y_noisy=labels.copy(), images=np.ascontiguousarray(images))
+
+
 def _classification_triplet(images, y, noisy, tr, va, te):
     mk = lambda idx: ClassificationSplit(y_clean=y[idx], y_noisy=noisy[idx], images=images[idx])
     return mk(tr), mk(va), mk(te)
@@ -403,6 +432,7 @@ def get_dataset(
     cluster_text: bool = False,
     cluster_kwargs: Dict | None = None,
     synthetic_n: int = 600,
+    corruption_name: str | None = None,
 ):
     """(train, val, test) splits; dispatcher mirroring get_dataset
     (lib/datasets/utils.py:350-430)."""
@@ -417,6 +447,17 @@ def get_dataset(
             synthetic_n, data_seed=data_seed, noise_level=noise_level,
             noise_type=noise_type if noise_type in ("symmetric", "asymmetric") else "symmetric",
         )
+
+    if name == "cifar10c":
+        # Robustness eval: cifar10 train/val (with the requested noise) +
+        # the corrupted test set (train_downstream_classification.py intent;
+        # the reference's own get_dataset lacks this branch — defect).
+        assert corruption_name, "cifar10c needs corruption_name"
+        images, y = _load_cifar_pickles("cifar10", train=True)
+        noisy = flip_labels("cifar10", noise_type, noise_level, y, data_seed)
+        tr, va, _ = split_80_10_10(len(y), data_seed)
+        train, val, _ = _classification_triplet(images, y, np.asarray(noisy), tr, va, tr[:0])
+        return train, val, load_cifar10c(corruption_name)
 
     if name in ("cifar10", "cifar100"):
         images, y = _load_cifar_pickles(name, train=True)

@@ -164,8 +164,78 @@ def train_downstream(
     if out_dir is not None:
         import json
 
+        from flax import serialization
+
         from lemon_tpu.core.io import json_default
 
         (Path(out_dir) / "results.json").write_text(json.dumps(results, default=json_default))
+        # best-params checkpoint (the reference's ckpt.pth role,
+        # train_downstream_classification.py:181) — consumed by the
+        # cifar10c inference mode below
+        (Path(out_dir) / "ckpt.msgpack").write_bytes(serialization.to_bytes(best_params))
         (Path(out_dir) / "done").write_text("done")
     return results
+
+
+def _group_accuracy(pred_y: np.ndarray, true_y: np.ndarray) -> Dict:
+    """Average / worst-group accuracy over true-class groups
+    (lib/metrics/utils.py:235-254 via compute_robustness_cifar10c)."""
+    group_stats = {}
+    for cls in np.unique(true_y):
+        mask = true_y == cls
+        group_stats[int(cls)] = {"accuracy": float((pred_y[mask] == cls).mean()), "n": int(mask.sum())}
+    return {
+        "average_accuracy": float((pred_y == true_y).mean()),
+        "worst_accuracy": min(g["accuracy"] for g in group_stats.values()),
+        "group_metrics": group_stats,
+    }
+
+
+def evaluate_cifar10c(
+    cfg: DownstreamConfig,
+    checkpoints,
+    corruption_name: str,
+    out_dir: Path,
+    test_split: Optional[ClassificationSplit] = None,
+) -> Dict:
+    """Inference-mode robustness eval (the reference's
+    ``--dataset cifar10c --num_epochs 0`` branch,
+    train_downstream_classification.py:112-114,193-198,355-358): each
+    trained checkpoint is evaluated on the corrupted test set; per model
+    the prediction npys and a ``results_{corruption}_{model_count}.pkl``
+    with average / worst-group accuracy are written. The reference's
+    model-loading for this mode is unimplemented (get_trained_models
+    raises when no in-memory weights exist, :31-36); here checkpoints are
+    the ``ckpt.msgpack`` files train_downstream writes."""
+    import pickle
+
+    from flax import serialization
+
+    if test_split is None:
+        from lemon_tpu.data.datasets import load_cifar10c
+
+        test_split = load_cifar10c(corruption_name)
+    model, params0 = init_classifier(cfg.model_cfg, cfg.num_classes, cfg.seed, cfg.freeze_backbone)
+
+    @jax.jit
+    def predict(params, pixels):
+        return jax.nn.softmax(model.apply(params, pixels), axis=-1)
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    all_results = {}
+    for model_count, ckpt in enumerate(checkpoints):
+        params = serialization.from_bytes(params0, Path(ckpt).read_bytes())
+        preds = []
+        for idx, n_valid in iter_batches(test_split, cfg.batch_size):
+            pixels = preprocess_device(load_images(test_split, idx), size=cfg.model_cfg.image_resolution)
+            preds.append(np.asarray(predict(params, pixels))[:n_valid])
+        pred_y = np.concatenate(preds).argmax(axis=1)
+        np.save(out_dir / f"test_pred_y_{corruption_name}_{model_count}.npy", pred_y)
+        np.save(out_dir / f"test_true_y_{corruption_name}_{model_count}.npy", test_split.y_clean)
+        results = _group_accuracy(pred_y, test_split.y_clean)
+        with open(out_dir / f"results_{corruption_name}_{model_count}.pkl", "wb") as f:
+            pickle.dump(results, f)
+        all_results[model_count] = results
+    (out_dir / "done").write_text("done")
+    return all_results
