@@ -70,7 +70,7 @@ def run_capfilt(
 ) -> Dict:
     splits, encoder, label_set = setup(cfg, splits, encoder)
     if itm_score_fn is None:
-        ckpt = getattr(cfg, "itm_checkpoint", None)
+        ckpt = cfg.itm_checkpoint
         if ckpt and Path(ckpt).exists():
             itm_score_fn = hf_blip_itm_scorer(ckpt)
         else:

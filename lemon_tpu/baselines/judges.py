@@ -187,10 +187,11 @@ class VdcPipeline:
     llm_generate: Callable
     vlm_answer: Callable  # (image, question) -> answer text
     specific_qa: Optional[Dict[str, List[Tuple[str, str]]]] = None  # label -> [(q, a)]
-    # (images, questions) -> [answer text]; when set, all of an example's
-    # questions (≤6 common + class-specific) are answered in one batched
-    # VLM call instead of one call per question.
+    # (images, questions) -> [answer text]; when set, an example's
+    # questions (≤6 common + class-specific) are answered in batched VLM
+    # calls of at most ``batch_size`` instead of one call per question.
     vlm_answer_batch: Optional[Callable] = None
+    batch_size: int = 16
 
     def score_example(self, image, caption: str, label: Optional[str] = None, clf: bool = False) -> Dict:
         questions = generate_questions(caption, self.llm_generate, clf=clf)
@@ -200,10 +201,10 @@ class VdcPipeline:
         specific_answers = [answer for _, answer in specific]
         if self.vlm_answer_batch is not None:
             all_questions = questions + [question for question, _ in specific]
-            all_responses = (
-                self.vlm_answer_batch([image] * len(all_questions), all_questions)
-                if all_questions else []
-            )
+            all_responses = []
+            for start in range(0, len(all_questions), max(self.batch_size, 1)):
+                chunk = all_questions[start:start + max(self.batch_size, 1)]
+                all_responses.extend(self.vlm_answer_batch([image] * len(chunk), chunk))
             common_responses = all_responses[:len(questions)]
             specific_responses = all_responses[len(questions):]
         else:

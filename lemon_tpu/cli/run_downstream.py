@@ -24,7 +24,8 @@ def build_parser():
     p = argparse.ArgumentParser(description="lemon_tpu downstream training")
     p.add_argument("--task", required=True, choices=["classification", "captioning"])
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--dataset", default=None,
+                   help="default: synthetic (training) / cifar10c (robustness eval mode)")
     p.add_argument("--noise_type", default="symmetric")
     p.add_argument("--noise_level", type=float, default=0.4)
     p.add_argument("--scores", default=None, help="detector dists.npy or scores CSV; omit for no filtering")
@@ -76,21 +77,24 @@ def main(argv=None):
 
     if args.cifar10_corruption_name and args.epochs == 0:
         # Robustness inference mode: no training, no filtering — evaluate
-        # existing checkpoints on the corrupted test set.
-        from lemon_tpu.data.labels import LABEL_SETS
+        # existing checkpoints on the corrupted test set. Default dataset
+        # here is cifar10c (real CIFAR-10-C npys); an explicit synthetic
+        # dataset substitutes its test split (test fixtures only).
         from lemon_tpu.train.downstream import DownstreamConfig, evaluate_cifar10c
 
+        dataset = args.dataset or "cifar10c"
         assert args.task == "classification", "cifar10c eval is a classification mode"
         assert args.eval_checkpoints, "--epochs 0 robustness mode needs --eval_checkpoints"
+        if not (dataset == "cifar10c" or dataset.startswith("synthetic")):
+            raise SystemExit(f"robustness mode evaluates cifar10c (or a synthetic stand-in), not {dataset}")
         model_cfg = ClipConfig.tiny() if args.model_size == "tiny" else ClipConfig.vit_b32()
         cfg = DownstreamConfig(
             num_classes=len(LABEL_SETS["cifar10"]), batch_size=args.batch_size,
             seed=args.seed, model_cfg=model_cfg,
         )
         test_split = None
-        if args.dataset.startswith("synthetic"):
-            # test fixtures: corrupted split stands in via the synthetic set
-            test_split = get_dataset(args.dataset, args.data_seed, noise_level=0.0,
+        if dataset.startswith("synthetic"):
+            test_split = get_dataset(dataset, args.data_seed, noise_level=0.0,
                                      synthetic_n=args.synthetic_n)[2]
         results = evaluate_cifar10c(
             cfg, args.eval_checkpoints, args.cifar10_corruption_name, out_dir,
@@ -99,9 +103,14 @@ def main(argv=None):
         for mc, r in results.items():
             print(f"model {mc}: avg {r['average_accuracy']:.4f} worst {r['worst_accuracy']:.4f}")
         return
+    if args.cifar10_corruption_name and args.dataset != "cifar10c":
+        raise SystemExit(
+            "--cifar10_corruption_name with training epochs requires --dataset cifar10c "
+            "(train on cifar10, evaluate on the corrupted test set)"
+        )
 
     splits = dict(zip(("train", "val", "test"), get_dataset(
-        args.dataset, args.data_seed, noise_level=args.noise_level,
+        args.dataset or "synthetic", args.data_seed, noise_level=args.noise_level,
         noise_type=args.noise_type, synthetic_n=args.synthetic_n,
         corruption_name=args.cifar10_corruption_name,
     )))
@@ -117,7 +126,7 @@ def main(argv=None):
     if args.task == "classification":
         from lemon_tpu.train.downstream import DownstreamConfig, train_downstream
 
-        n_classes = len(LABEL_SETS.get(args.dataset, LABEL_SETS["cifar10"]))
+        n_classes = len(LABEL_SETS.get(args.dataset or "synthetic", LABEL_SETS["cifar10"]))
         cfg = DownstreamConfig(
             num_classes=n_classes, percentile=args.percentile, epochs=args.epochs,
             batch_size=args.batch_size, learning_rate=args.lr,

@@ -108,19 +108,33 @@ def _hf_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=512):
             # llava-v1 conversation style (run_llava.py:129-132)
             return f"USER: <image>\n{prompt} ASSISTANT:"
 
+    def _stop_ids():
+        """All ids that can terminate a row: tokenizer EOS plus any
+        generation_config EOS overrides (e.g. <|eot_id|>-style stop tokens
+        that differ from tokenizer.eos_token_id)."""
+        ids = set()
+        for eos in (processor.tokenizer.eos_token_id, getattr(vlm.generation_config, "eos_token_id", None)):
+            if eos is None:
+                continue
+            ids.update(eos if isinstance(eos, (list, tuple)) else [eos])
+        return ids
+
     def _row_lengths(gen):
-        """Generated tokens per row = up to and including the first EOS
-        (rows that finish early are pad-filled by generate)."""
-        eos = processor.tokenizer.eos_token_id
-        eos_ids = set(eos if isinstance(eos, (list, tuple)) else [eos])
+        """Generated tokens per row = up to and including the first stop
+        token; rows that finish early are pad-filled by generate, so a pad
+        token (when distinct from EOS) also marks the end — without this,
+        a row stopping at step 0 would read a forced-pad transition score
+        instead of the per-sample path's 0.5 fallback."""
+        stop_ids = _stop_ids()
+        pad = processor.tokenizer.pad_token_id
         lengths = []
         for row in gen.tolist():
             n = len(row)
             for j, tok in enumerate(row):
-                if tok in eos_ids:
-                    n = j + 1
+                if tok in stop_ids or tok == pad:
+                    n = j + 1 if tok in stop_ids else j
                     break
-            lengths.append(n)
+            lengths.append(max(n, 0))
         return lengths
 
     @torch.inference_mode()
@@ -251,8 +265,16 @@ def main(argv=None):
             pipe = VdcPipeline(
                 llm_generate=llm_generate, vlm_answer=vlm_answer, specific_qa=specific_qa,
                 vlm_answer_batch=vlm_answer_batch if args.generate_batch_size > 1 else None,
+                batch_size=args.generate_batch_size,
             )
-            scores = [pipe.score_example(images[i], captions[i])["score"] for i in range(len(split))]
+            # specific-QA lookup is keyed by the noisy label/caption text
+            # (run_vdc.py:126-128 selects per-class questions by the noisy
+            # label; for classification-as-caption datasets the caption IS
+            # that label string).
+            scores = [
+                pipe.score_example(images[i], captions[i], label=captions[i])["score"]
+                for i in range(len(split))
+            ]
         rows.append(pd.DataFrame({
             "sset": sset,
             "idx": np.arange(len(split)),

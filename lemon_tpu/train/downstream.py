@@ -71,6 +71,17 @@ def load_detector_scores(path: Path, split_name: str = "train") -> np.ndarray:
     return df.loc[df.sset == split_name, "pred_score"].to_numpy()
 
 
+def _predict_split(predict, params, split, batch_size, image_size):
+    """(probs, pred_y) over a split with the static-shape batch iterator;
+    ``predict`` is a jitted (params, pixels) -> probs function."""
+    preds = []
+    for idx, n_valid in iter_batches(split, batch_size):
+        pixels = preprocess_device(load_images(split, idx), size=image_size)
+        preds.append(np.asarray(predict(params, pixels))[:n_valid])
+    probs = np.concatenate(preds)
+    return probs, probs.argmax(axis=1)
+
+
 def _epoch_batches(split, batch_size, image_size, rng):
     order = rng.permutation(len(split))
     for start in range(0, len(order), batch_size):
@@ -115,12 +126,7 @@ def train_downstream(
         return jax.nn.softmax(model.apply(params, pixels), axis=-1)
 
     def eval_split(params, split):
-        preds = []
-        for idx, n_valid in iter_batches(split, cfg.batch_size):
-            pixels = preprocess_device(load_images(split, idx), size=cfg.model_cfg.image_resolution)
-            preds.append(np.asarray(predict(params, pixels))[:n_valid])
-        probs = np.concatenate(preds)
-        pred_y = probs.argmax(axis=1)
+        probs, pred_y = _predict_split(predict, params, split, cfg.batch_size, cfg.model_cfg.image_resolution)
         return probs, pred_y, (pred_y == split.y_clean).mean()
 
     rng = np.random.default_rng(cfg.seed)
@@ -146,15 +152,11 @@ def train_downstream(
     for sname in ("val", "test"):
         split = splits[sname]
         probs, pred_y, acc = eval_split(best_params, split)
-        group_stats = {}
-        for cls in np.unique(split.y_clean):
-            mask = split.y_clean == cls
-            group_stats[int(cls)] = {"accuracy": float((pred_y[mask] == cls).mean()), "n": int(mask.sum())}
-        worst = min(g["accuracy"] for g in group_stats.values())
+        g = _group_accuracy(pred_y, split.y_clean)
         results[sname] = {
             "accuracy": float(acc),
-            "worst_group_accuracy": worst,
-            "groups": group_stats,
+            "worst_group_accuracy": g["worst_accuracy"],
+            "groups": g["group_metrics"],
         }
         if out_dir is not None:
             out_dir = Path(out_dir)
@@ -226,11 +228,7 @@ def evaluate_cifar10c(
     all_results = {}
     for model_count, ckpt in enumerate(checkpoints):
         params = serialization.from_bytes(params0, Path(ckpt).read_bytes())
-        preds = []
-        for idx, n_valid in iter_batches(test_split, cfg.batch_size):
-            pixels = preprocess_device(load_images(test_split, idx), size=cfg.model_cfg.image_resolution)
-            preds.append(np.asarray(predict(params, pixels))[:n_valid])
-        pred_y = np.concatenate(preds).argmax(axis=1)
+        _, pred_y = _predict_split(predict, params, test_split, cfg.batch_size, cfg.model_cfg.image_resolution)
         np.save(out_dir / f"test_pred_y_{corruption_name}_{model_count}.npy", pred_y)
         np.save(out_dir / f"test_true_y_{corruption_name}_{model_count}.npy", test_split.y_clean)
         results = _group_accuracy(pred_y, test_split.y_clean)
