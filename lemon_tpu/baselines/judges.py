@@ -219,17 +219,35 @@ class VdcPipeline:
         }
 
 
-def load_cifar10_specific_questions(path) -> Dict[str, List[Tuple[str, str]]]:
+def load_cifar10_specific_questions(path=None) -> Dict[str, List[Tuple[str, str]]]:
     """Canned per-class questions (lib/vdc/cifar10_specific_InstructBLIP.csv,
-    run_vdc.py:126-128). CSV columns: label, question, answer."""
+    run_vdc.py:126-128). CSV columns: label, question, answer. Integer
+    labels are mapped to the CIFAR-10 class names exactly as the reference
+    does (``cifar10_labels[x]``); ``path=None`` loads the vendored copy of
+    the reference's QA table (see THIRD_PARTY.md)."""
     import pandas as pd
 
+    if path is None:
+        from pathlib import Path
+
+        path = Path(__file__).parent / "assets" / "vdc_cifar10_specific_qa.csv"
     df = pd.read_csv(path)
     cols = {c.lower(): c for c in df.columns}
     out: Dict[str, List[Tuple[str, str]]] = {}
+    names = None
     for _, row in df.iterrows():
-        label = str(row[cols.get("label", df.columns[0])])
-        out.setdefault(label, []).append(
+        label = row[cols.get("label", df.columns[0])]
+        try:
+            idx = int(label)
+        except (TypeError, ValueError):
+            idx = None
+        if idx is not None:
+            if names is None:
+                from lemon_tpu.data.labels import LABEL_SETS
+
+                names = LABEL_SETS["cifar10"]
+            label = names[idx]
+        out.setdefault(str(label), []).append(
             (str(row[cols.get("question", df.columns[1])]), str(row[cols.get("answer", df.columns[-1])]))
         )
     return out

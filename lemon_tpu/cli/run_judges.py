@@ -41,7 +41,9 @@ def build_parser():
     p.add_argument("--debug", action="store_true", help="20-sample subset (run_llava.py:85-87)")
     p.add_argument("--platform", default=None)
     p.add_argument("--synthetic_n", type=int, default=200)
-    p.add_argument("--specific_qa_csv", default=None, help="VDC per-class QA csv")
+    p.add_argument("--specific_qa_csv", default=None,
+                   help="VDC per-class QA csv ('builtin' = the vendored "
+                        "CIFAR-10 table, lib/vdc/cifar10_specific_InstructBLIP.csv role)")
     p.add_argument("--max_new_tokens", type=int, default=512,
                    help="generation budget (run_llava.py:143); lower for tiny test checkpoints")
     p.add_argument("--generate_batch_size", type=int, default=1,
@@ -233,7 +235,9 @@ def main(argv=None):
 
     specific_qa = None
     if args.specific_qa_csv:
-        specific_qa = load_cifar10_specific_questions(args.specific_qa_csv)
+        specific_qa = load_cifar10_specific_questions(
+            None if args.specific_qa_csv == "builtin" else args.specific_qa_csv
+        )
 
     rows = []
     for sset, split in (("val", val), ("test", test)):

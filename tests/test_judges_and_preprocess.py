@@ -137,6 +137,27 @@ def test_vdc_pipeline_end_to_end():
     assert calls == [3, 3]  # 2 common + 1 specific, one VLM call per example
 
 
+def test_vendored_cifar10_specific_qa():
+    """The vendored VDC QA table loads with integer labels mapped to the
+    CIFAR-10 class names (run_vdc.py:126-128 cifar10_labels[x])."""
+    from lemon_tpu.baselines.judges import load_cifar10_specific_questions
+    from lemon_tpu.data.labels import LABEL_SETS
+
+    qa = load_cifar10_specific_questions()
+    assert set(qa) == set(LABEL_SETS["cifar10"])
+    assert all(len(v) == 4 for v in qa.values())
+    q, a = qa["airplane"][0]
+    assert "airplane" in q and a == "yes"
+    # custom CSV with string labels passes through unmapped
+    import tempfile
+    from pathlib import Path
+
+    p = Path(tempfile.mkdtemp()) / "qa.csv"
+    p.write_text("label,question,answer\ncat,Is it a cat?,yes\n")
+    qa2 = load_cifar10_specific_questions(p)
+    assert qa2 == {"cat": [("Is it a cat?", "yes")]}
+
+
 # ---------------------------------------------------------------------------
 # preprocessing
 
