@@ -48,14 +48,15 @@ def main():
         s, bm = fused_scores_blockmax(q, db, metric, dbsq, start=128, n_valid=8000, interpret=False)
         s, bm = np.asarray(s), np.asarray(bm)
         from lemon_tpu.knn.index import _scores_block
+        from lemon_tpu.ops.scoremax import MASKED
 
         s_ref = np.asarray(_scores_block(q, db, metric, dbsq))
-        col = 128 + np.arange(8192)[None, :]
-        s_ref = np.where(col < 8000, s_ref, -np.inf)
+        col = np.broadcast_to(128 + np.arange(8192)[None, :], s.shape)
         # Mosaic's fp32 MXU accumulation order differs from XLA's
         # (measured max abs diff 2.3e-5 at |s|~20); identical rows still
         # get identical scores, so tie-breaking is unaffected.
-        assert np.allclose(s, s_ref, rtol=2e-5, atol=1e-4), metric
+        assert np.allclose(s[col < 8000], s_ref[col < 8000], rtol=2e-5, atol=1e-4), metric
+        assert (s[col >= 8000] == MASKED).all(), metric
         assert np.array_equal(bm, s.reshape(256, 64, 128).max(axis=2)), metric
         print(f"fused_scores_blockmax compiled [{metric}]: ok", flush=True)
 

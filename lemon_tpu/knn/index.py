@@ -37,6 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lemon_tpu.core.mesh import DATA_AXIS, pad_to_multiple
+from lemon_tpu.ops.scoremax import MASKED as _MASKED
 from lemon_tpu.ops.scoremax import fused_scores_blockmax
 from lemon_tpu.ops.topk import pallas_topk
 from lemon_tpu.ops.topk import supports as _topk_supports
@@ -108,13 +109,14 @@ def _scores_block(q: jnp.ndarray, db: jnp.ndarray, metric: str, db_sqnorm=None, 
 _BLOCK = 128  # lane width; blockmax prefilter granularity
 
 
-def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pallas: bool):
+def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pallas: bool, gather: str = "take"):
     """Top-k of a masked score block given its precomputed block maxima.
 
-    ``sb``: (B, n_blocks, 128) scores with invalid columns already -inf;
+    ``sb``: (B, n_blocks, 128) scores with invalid columns already masked
+    (-inf on the XLA path, ops/scoremax.MASKED on the fused-Pallas path);
     ``bmax``: (B, n_blocks). Selection logic shared by the XLA path
-    (_tile_topk) and the fused-Pallas path (fused_scores_blockmax feeds
-    this directly)."""
+    (_tile_topk, ``gather='take'``) and the fused-Pallas path
+    (fused_scores_blockmax feeds this with ``gather='onehot'``)."""
     b, n_blocks, _ = sb.shape
     # bmax top-k stays on lax.top_k: at the auto_tile widths (n_blocks
     # 512-1024) the Pallas iterative kernel's k sequential passes lose to
@@ -125,7 +127,20 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
     # ascending column order, so the final top-k's first-occurrence tie
     # rule equals the ascending-index tiebreak — no wide argsort needed.
     block_ids = jnp.sort(block_ids, axis=1)
-    cand = jnp.take_along_axis(sb, block_ids[:, :, None], axis=1)  # (B, k, 128)
+    if gather == "onehot":
+        # XLA's take_along_axis runs ~50x below HBM bandwidth here
+        # (on-chip: 1.76 us/row inside the fused composition); a one-hot
+        # HIGHEST matmul is bit-exact for 0/1 weights (each output is one
+        # product 1.0*s plus exact zeros) and rides the MXU instead
+        # (0.39 vs 0.85 us/row isolated). Requires the finite MASKED
+        # sentinel: a 0-weight times -inf would inject NaN.
+        onehot = (block_ids[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_blocks), 2)).astype(jnp.float32)
+        cand = jax.lax.dot_general(
+            onehot, sb, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        )
+    else:
+        cand = jnp.take_along_axis(sb, block_ids[:, :, None], axis=1)  # (B, k, 128)
     cand = cand.reshape(b, k * _BLOCK)
     if use_pallas and _topk_supports(k * _BLOCK, k):
         # interpret auto-selects: compiled on TPU, interpreter elsewhere
@@ -133,6 +148,9 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
         out_s, pos = pallas_topk(cand, k)
     else:
         out_s, pos = jax.lax.top_k(cand, k)
+        # restore the -inf padding contract when candidates carry the
+        # finite sentinel (pallas_topk does this mapping itself)
+        out_s = jnp.where(out_s == _MASKED, _NEG_INF, out_s)
     # Positions encode (block slot, lane): recover global columns with a
     # k-wide gather over block_ids instead of materializing and gathering
     # a (B, k*128) column matrix (measured 0.50 -> ~0.02 us/row at k=51).
@@ -211,7 +229,12 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_p
                 precision=precision,
             )
             sb = s.reshape(xq.shape[0], db.shape[0] // _BLOCK, _BLOCK)
-            return _blockmax_select(sb, bmax, start, k, use_pallas)
+            # onehot gather rides the MXU: a win when the score matmul is
+            # bf16x3 (half the MXU passes leave headroom; on-chip 13.2 ->
+            # 14.6 B pairs/s) but a loss under fp32-HIGHEST where the MXU
+            # is already the bottleneck (11.0 -> 8.4); gate by precision.
+            gather = "onehot" if precision == "high" else "take"
+            return _blockmax_select(sb, bmax, start, k, use_pallas, gather=gather)
         s = _scores_block(xq, db, metric, dbsq, precision)
         return _tile_topk(s, start, k, n_valid, use_pallas)
 

@@ -27,6 +27,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = np.float32(-np.inf)
+# Masked (padding) columns come out as the lowest FINITE fp32, not -inf:
+# (a) the candidate gather in knn/index.py:_blockmax_select is a one-hot
+# matmul, where a 0-weight times -inf would inject NaN (0 * inf = NaN);
+# (b) the value coincides with ops/topk.py's internal -inf stand-in, so a
+# selected padding column maps back to -inf in the final top-k scores.
+# Legitimate similarity scores never reach float32.min.
+MASKED = np.float32(np.finfo(np.float32).min)
 _LANES = 128
 
 
@@ -63,7 +70,7 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
         s = ip
     bm = s.shape[0]
     col = start_ref[0, 0] + j * tile_cols + jax.lax.broadcasted_iota(jnp.int32, (bm, tile_cols), 1)
-    s = jnp.where(col < n_valid, s, _NEG_INF)
+    s = jnp.where(col < n_valid, s, MASKED)
     s_ref[:] = s
     parts = [
         jnp.max(s[:, c * _LANES : (c + 1) * _LANES], axis=1, keepdims=True)
@@ -79,7 +86,7 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
 
     @pl.when(j == 0)
     def _():
-        bmax_ref[:] = jnp.full((bm, n_bmax_lanes), _NEG_INF, jnp.float32)
+        bmax_ref[:] = jnp.full((bm, n_bmax_lanes), MASKED, jnp.float32)
 
     if n == n_bmax_lanes:
         bmax_ref[:] = bmax
@@ -144,7 +151,9 @@ def fused_scores_blockmax(
 
     ``db`` rows must be a multiple of 128 (the index pads its tiles);
     query rows are padded internally. Columns at global index
-    ``start + j >= n_valid`` come out as -inf in both outputs.
+    ``start + j >= n_valid`` come out as ``MASKED`` (lowest finite fp32 —
+    see the constant's comment; the select stage maps it back to -inf)
+    in both outputs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

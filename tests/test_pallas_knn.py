@@ -37,18 +37,22 @@ def test_fused_scores_blockmax_semantics(rng, metric):
     q = jnp.asarray(rng.standard_normal((10, 32)).astype(np.float32))
     db = jnp.asarray(rng.standard_normal((2048, 32)).astype(np.float32))
     dbsq = jnp.sum(db * db, axis=1) if metric == "l2" else None
+    from lemon_tpu.ops.scoremax import MASKED
+
     s_ref = np.asarray(_scores_block(q, db, metric, dbsq))
     col = 256 + np.arange(2048)[None, :]
-    s_ref = np.where(col < 1900, s_ref, -np.inf)
+    masked = col >= 1900
     s, bm = fused_scores_blockmax(q, db, metric, dbsq, start=256, n_valid=1900)
     s, bm = np.asarray(s), np.asarray(bm)
     # matmul accumulation order differs from XLA at the ulp level; the
     # contract is tolerance-level score equality plus exact internal
     # consistency (bmax is the true blockmax of the emitted scores).
-    assert np.allclose(s, s_ref, rtol=2e-6, atol=1e-5)
+    assert np.allclose(s[~masked.repeat(10, 0)].reshape(10, -1),
+                       s_ref[~masked.repeat(10, 0)].reshape(10, -1), rtol=2e-6, atol=1e-5)
     np.testing.assert_array_equal(bm, s.reshape(10, 16, 128).max(axis=2))
-    # mask positions exact
-    np.testing.assert_array_equal(np.isneginf(s), np.isneginf(s_ref))
+    # mask positions carry the finite sentinel exactly (not -inf: the
+    # one-hot candidate gather would turn 0 * -inf into NaN)
+    np.testing.assert_array_equal(s == MASKED, np.broadcast_to(masked, s.shape))
 
 
 def test_fused_tile_cols_divisor(rng):
@@ -84,6 +88,32 @@ def test_blockmax_select_end_to_end_against_numpy_oracle(rng):
         for r, c in bad:
             window = gaps[r, max(c - 1, 0) : c + 1]
             assert window.size and window.min() < 1e-4, (r, c)
+
+
+def test_fused_path_with_padded_tile_no_nan(rng):
+    """Padding columns + the one-hot candidate gather: a -inf mask would
+    inject NaN through 0 * -inf in the gather matmul; the finite MASKED
+    sentinel must keep results exact and map back to -inf in the padded
+    top-k slots."""
+    from lemon_tpu.knn.index import _tiled_search
+
+    b, d, k = 16, 32, 12
+    n_db = 6700  # pads to 6784 inside the tile; n_valid < padded size
+    xq = rng.standard_normal((b, d)).astype(np.float32)
+    xb = rng.standard_normal((n_db, d)).astype(np.float32)
+    s, i = _tiled_search(jnp.asarray(xq), jnp.asarray(xb), k=k, metric="ip",
+                         tile=4 * k * 128, n_valid=n_db, use_pallas=True)
+    s, i = np.asarray(s), np.asarray(i)
+    assert not np.isnan(s).any()
+    ref_s, ref_i = numpy_search(xb, xq, k, "ip")
+    np.testing.assert_allclose(s, ref_s, rtol=2e-6, atol=1e-5)
+    np.testing.assert_array_equal(i, ref_i)
+    # k > n_valid: padded slots come back as -inf scores
+    s2, _ = _tiled_search(jnp.asarray(xq), jnp.asarray(xb[:130]), k=140, metric="ip",
+                          tile=140 * 4 * 128, n_valid=130, use_pallas=True)
+    s2 = np.asarray(s2)
+    assert not np.isnan(s2).any()
+    assert np.isneginf(s2[:, 130:]).all()
 
 
 def test_high_precision_path(rng):
