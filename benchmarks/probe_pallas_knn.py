@@ -46,7 +46,7 @@ def main():
     for metric in ("ip", "l2"):
         dbsq = jnp.sum(db * db, axis=1) if metric == "l2" else None
         s, bm = fused_scores_blockmax(q, db, metric, dbsq, start=128, n_valid=8000, interpret=False)
-        s, bm = np.asarray(s), np.asarray(bm)
+        s, bm = np.asarray(s).reshape(256, -1), np.asarray(bm)  # block-major out
         from lemon_tpu.knn.index import _scores_block
         from lemon_tpu.ops.scoremax import MASKED
 

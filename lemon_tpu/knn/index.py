@@ -228,13 +228,15 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_p
                 xq, db, metric, dbsq, start=start, n_valid=n_valid,
                 precision=precision,
             )
-            sb = s.reshape(xq.shape[0], db.shape[0] // _BLOCK, _BLOCK)
+            # s is already block-major (B, db/128, 128) — the kernel emits
+            # the gather-native layout (a post-hoc reshape retiles, ~1
+            # us/row).
             # onehot gather rides the MXU: a win when the score matmul is
             # bf16x3 (half the MXU passes leave headroom; on-chip 13.2 ->
             # 14.6 B pairs/s) but a loss under fp32-HIGHEST where the MXU
             # is already the bottleneck (11.0 -> 8.4); gate by precision.
             gather = "onehot" if precision == "high" else "take"
-            return _blockmax_select(sb, bmax, start, k, use_pallas, gather=gather)
+            return _blockmax_select(s, bmax, start, k, use_pallas, gather=gather)
         s = _scores_block(xq, db, metric, dbsq, precision)
         return _tile_topk(s, start, k, n_valid, use_pallas)
 

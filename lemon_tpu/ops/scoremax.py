@@ -71,7 +71,12 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
     bm = s.shape[0]
     col = start_ref[0, 0] + j * tile_cols + jax.lax.broadcasted_iota(jnp.int32, (bm, tile_cols), 1)
     s = jnp.where(col < n_valid, s, MASKED)
-    s_ref[:] = s
+    # Stored block-major 3-D: (rows, blocks, 128). The consumer gathers
+    # whole 128-lane blocks (knn/index.py:_blockmax_select); emitting that
+    # layout here is free in-kernel, while a post-hoc (B, T)->(B, T/128,
+    # 128) reshape through XLA physically retiles the array (~1 us/row at
+    # tile 64k — measured round 2).
+    s_ref[:] = s.reshape(bm, tile_cols // _LANES, _LANES)
     parts = [
         jnp.max(s[:, c * _LANES : (c + 1) * _LANES], axis=1, keepdims=True)
         for c in range(tile_cols // _LANES)
@@ -119,11 +124,11 @@ def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, block_rows, tile_
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, tile_cols // _LANES, _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, t // _LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t), jnp.float32),
+            jax.ShapeDtypeStruct((b, t // _LANES, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, t // _LANES), jnp.float32),
         ),
         interpret=interpret,
@@ -147,7 +152,8 @@ def fused_scores_blockmax(
     precision: str = "highest",
     interpret: bool | None = None,
 ):
-    """(masked scores (B, T), blockmax (B, T/128)) in one fused pass.
+    """(masked scores (B, T/128, 128) block-major, blockmax (B, T/128))
+    in one fused pass.
 
     ``db`` rows must be a multiple of 128 (the index pads its tiles);
     query rows are padded internally. Columns at global index

@@ -43,7 +43,7 @@ def test_fused_scores_blockmax_semantics(rng, metric):
     col = 256 + np.arange(2048)[None, :]
     masked = col >= 1900
     s, bm = fused_scores_blockmax(q, db, metric, dbsq, start=256, n_valid=1900)
-    s, bm = np.asarray(s), np.asarray(bm)
+    s, bm = np.asarray(s).reshape(10, -1), np.asarray(bm)  # (B, NB, 128) block-major out
     # matmul accumulation order differs from XLA at the ulp level; the
     # contract is tolerance-level score equality plus exact internal
     # consistency (bmax is the true blockmax of the emitted scores).
@@ -62,8 +62,8 @@ def test_fused_tile_cols_divisor(rng):
     db = jnp.asarray(rng.standard_normal((1920, 16)).astype(np.float32))
     s, bm = fused_scores_blockmax(q, db, "ip")
     s, bm = np.asarray(s), np.asarray(bm)
-    assert s.shape == (9, 1920) and bm.shape == (9, 15)
-    np.testing.assert_array_equal(bm, s.reshape(9, 15, 128).max(axis=2))
+    assert s.shape == (9, 15, 128) and bm.shape == (9, 15)
+    np.testing.assert_array_equal(bm, s.max(axis=2))
 
 
 def test_blockmax_select_end_to_end_against_numpy_oracle(rng):
@@ -74,8 +74,7 @@ def test_blockmax_select_end_to_end_against_numpy_oracle(rng):
     xb = rng.standard_normal((t, d)).astype(np.float32)
     xb[5] = xb[77]  # duplicate rows -> exact score ties across blocks
     s, bmax = fused_scores_blockmax(jnp.asarray(xq), jnp.asarray(xb), "ip")
-    sb = s.reshape(b, t // 128, 128)
-    out_s, out_i = _blockmax_select(sb, bmax, 0, k, use_pallas=False)
+    out_s, out_i = _blockmax_select(s, bmax, 0, k, use_pallas=False)
     ref_s, ref_i = numpy_search(xb, xq, k, "ip")
     assert np.allclose(np.asarray(out_s), ref_s, rtol=2e-6, atol=1e-5)
     # indices must agree wherever scores are not within tolerance of a
