@@ -200,7 +200,14 @@ def auto_tile(n_db: int, n_queries: int, budget_bytes: int = 4 << 30) -> int:
     """
     max_tile = max(budget_bytes // max(4 * n_queries, 1), _BLOCK)
     n_tiles = max(1, -(-n_db // max_tile))
-    return -(-(-(-n_db // n_tiles)) // _BLOCK) * _BLOCK
+    tile = -(-(-(-n_db // n_tiles)) // _BLOCK) * _BLOCK
+    # Round to 8-block (1024-column) multiples when the tile is large
+    # enough: Mosaic's sublane rule makes the fused kernel pad odd widths
+    # per tile anyway (ops/scoremax.py:plan_tile_cols) — aligning here
+    # keeps the j-sweep uniform with no padding work.
+    if tile > 8 * _BLOCK:
+        tile = -(-tile // (8 * _BLOCK)) * (8 * _BLOCK)
+    return tile
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "n_valid", "use_pallas", "precision"))

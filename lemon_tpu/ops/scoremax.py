@@ -46,7 +46,7 @@ def _dot_t(a, b, precision):
     )
 
 
-def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, metric, tile_cols, n_valid, precision):
+def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, metric, tile_cols, n_valid, n_local, precision):
     j = pl.program_id(1)
     n_bmax_lanes = bmax_ref.shape[1]
     if precision == "high":
@@ -69,8 +69,12 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
     else:
         s = ip
     bm = s.shape[0]
-    col = start_ref[0, 0] + j * tile_cols + jax.lax.broadcasted_iota(jnp.int32, (bm, tile_cols), 1)
-    s = jnp.where(col < n_valid, s, MASKED)
+    local = j * tile_cols + jax.lax.broadcasted_iota(jnp.int32, (bm, tile_cols), 1)
+    col = start_ref[0, 0] + local
+    # two masks: the caller's global validity bound AND this call's own
+    # 8-block alignment padding (local >= n_local), which on intermediate
+    # tiles of a larger database sits BELOW n_valid in global terms
+    s = jnp.where((col < n_valid) & (local < n_local), s, MASKED)
     # Stored block-major 3-D: (rows, blocks, 128). The consumer gathers
     # whole 128-lane blocks (knn/index.py:_blockmax_select); emitting that
     # layout here is free in-kernel, while a post-hoc (B, T)->(B, T/128,
@@ -105,13 +109,13 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "n_valid", "block_rows", "tile_cols", "precision", "interpret"),
+    static_argnames=("metric", "n_valid", "n_local", "block_rows", "tile_cols", "precision", "interpret"),
 )
-def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, block_rows, tile_cols, precision, interpret):
+def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, n_local, block_rows, tile_cols, precision, interpret):
     b, d = q.shape
     t = db.shape[0]
     kernel = functools.partial(
-        _kernel, metric=metric, tile_cols=tile_cols, n_valid=n_valid, precision=precision
+        _kernel, metric=metric, tile_cols=tile_cols, n_valid=n_valid, n_local=n_local, precision=precision
     )
     return pl.pallas_call(
         kernel,
@@ -133,6 +137,39 @@ def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, block_rows, tile_
         ),
         interpret=interpret,
     )(q, db, qsq, dbsq, start)
+
+
+def plan_tile_cols(t: int, requested_cols: int) -> tuple[int, int]:
+    """(tile_cols, padded_t) for the j-sweep.
+
+    Mosaic requires the 3-D output block's middle (sublane) dim —
+    tile_cols/128 — to be divisible by 8 or equal to the whole padded_t/128
+    (lowering _check_block_mappings). Prefer a multiple-of-8 block-count
+    divisor of t/128; if t/128 itself fits the requested width, a single
+    full-width j-step is also legal; otherwise pad the database rows up to
+    the next multiple of 1024 columns (8 blocks) — padding columns are
+    masked to MASKED via ``n_valid`` like any other tail."""
+    m = t // _LANES
+    max_c = max(requested_cols // _LANES, 1)
+    best = 0
+    for c in range(min(max_c, m), 0, -1):
+        if m % c == 0 and c % 8 == 0:
+            best = c
+            break
+    if best:
+        return best * _LANES, t
+    if m <= max_c:
+        return m * _LANES, t  # single full-width step (block == whole dim)
+    m_pad = -(-m // 8) * 8
+    # largest multiple-of-8 divisor of m_pad within the requested width;
+    # when the request is narrower than 8 blocks, 8 is the floor (a mild
+    # VMEM overshoot beats an illegal block shape)
+    c = 8
+    for cand in range(min(max_c, m_pad), 8, -1):
+        if m_pad % cand == 0 and cand % 8 == 0:
+            c = cand
+            break
+    return c * _LANES, m_pad * _LANES
 
 
 def fused_scores_blockmax(
@@ -159,30 +196,31 @@ def fused_scores_blockmax(
     query rows are padded internally. Columns at global index
     ``start + j >= n_valid`` come out as ``MASKED`` (lowest finite fp32 —
     see the constant's comment; the select stage maps it back to -inf)
-    in both outputs.
+    in both outputs. The outputs may carry MORE blocks than db/128 when
+    the j-sweep needs 8-block alignment (plan_tile_cols) — the extra
+    blocks are fully MASKED, so block selection never picks them while
+    real candidates remain.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, d = q.shape
     t = db.shape[0]
     assert t % _LANES == 0, t
-    # largest divisor of t that is a multiple of 128 and <= the requested
-    # tile_cols (t is always a multiple of 128; worst case falls to 128)
-    m = t // _LANES
-    c = min(tile_cols // _LANES, m)
-    while m % c:
-        c -= 1
-    tile_cols = c * _LANES
     if n_valid is None:
         n_valid = t  # callers pass start=0 in this case
+    tile_cols, t_pad = plan_tile_cols(t, tile_cols)
     q = q.astype(jnp.float32)
     db = db.astype(jnp.float32)
+    if t_pad != t:
+        db = jnp.pad(db, ((0, t_pad - t), (0, 0)))
     if metric == "l2":
         qsq = jnp.sum(q * q, axis=1, keepdims=True)
         dbsq = (db_sqnorm if db_sqnorm is not None else jnp.sum(db * db, axis=1))[None, :]
+        if t_pad != t:
+            dbsq = jnp.pad(dbsq, ((0, 0), (0, t_pad - t)))
     else:
         qsq = jnp.zeros((b, 1), jnp.float32)
-        dbsq = jnp.zeros((1, t), jnp.float32)
+        dbsq = jnp.zeros((1, t_pad), jnp.float32)
     block_rows = min(block_rows, ((b + 7) // 8) * 8)
     pad_b = (-b) % block_rows
     if pad_b:
@@ -191,7 +229,7 @@ def fused_scores_blockmax(
     start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
     s, bmax = _fused_padded(
         q, db, qsq, dbsq, start_arr,
-        metric=metric, n_valid=int(n_valid),
+        metric=metric, n_valid=int(n_valid), n_local=int(t),
         block_rows=block_rows, tile_cols=tile_cols,
         precision=precision, interpret=interpret,
     )

@@ -60,10 +60,31 @@ def test_fused_tile_cols_divisor(rng):
     # a valid tile split instead of asserting.
     q = jnp.asarray(rng.standard_normal((9, 16)).astype(np.float32))
     db = jnp.asarray(rng.standard_normal((1920, 16)).astype(np.float32))
+    from lemon_tpu.ops.scoremax import MASKED
+
     s, bm = fused_scores_blockmax(q, db, "ip")
     s, bm = np.asarray(s), np.asarray(bm)
-    assert s.shape == (9, 15, 128) and bm.shape == (9, 15)
+    # 15 blocks round up to 16 for Mosaic's 8-sublane block constraint;
+    # the alignment-padding block is fully MASKED
+    assert s.shape == (9, 16, 128) and bm.shape == (9, 16)
     np.testing.assert_array_equal(bm, s.max(axis=2))
+    assert (s[:, 15] == MASKED).all() and (bm[:, 15] == MASKED).all()
+
+
+def test_plan_tile_cols_mosaic_constraint():
+    """Every plan satisfies Mosaic's sublane rule: block count per j-step
+    divisible by 8, or one full-width step. Includes the 500k-bench shape
+    (489 blocks) that crashed the compiled lowering when unplanned."""
+    from lemon_tpu.ops.scoremax import plan_tile_cols
+
+    for t in (62592, 65536, 8192, 1920, 640, 128, 500224 // 8 * 8):
+        for req in (1024, 384, 2048):
+            cols, t_pad = plan_tile_cols(t, req)
+            m_pad = t_pad // 128
+            c = cols // 128
+            assert t_pad >= t and t_pad % 128 == 0
+            assert m_pad % c == 0
+            assert c % 8 == 0 or c == m_pad, (t, req, cols, t_pad)
 
 
 def test_blockmax_select_end_to_end_against_numpy_oracle(rng):
