@@ -174,6 +174,48 @@ def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 102
     return n_db * (q_large - q_small) / max(t_large - t_small, 1e-9)
 
 
+def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: int = 9, precision: str = "fp32") -> float:
+    """Contrastive CLIP training-step throughput (pairs/s/chip), the
+    train_clip_from_scratch.py:153-187 hot loop: full fwd+bwd+AdamW update
+    with global-batch InfoNCE, as one scanned jit program (two-point
+    measurement like every other workload here)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.models.clip import ClipConfig
+    from lemon_tpu.train.contrastive import TrainConfig, clip_loss, create_train_state
+
+    cfg = ClipConfig.vit_b32()
+    model, state = create_train_state(cfg, TrainConfig(precision=precision))
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3)).astype(np.float32))
+    tokens = rng.integers(1, cfg.vocab_size - 2, (batch_size, cfg.context_length)).astype(np.int32)
+    tokens[:, -1] = cfg.vocab_size - 1
+    tokens = jnp.asarray(tokens)
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run(state, pixels, tokens, steps):
+        def body(st, step):
+            def loss_fn(params):
+                logits_i, logits_t = model.apply(params, jnp.roll(pixels, step, 0), jnp.roll(tokens, step, 0))
+                return clip_loss(logits_i, logits_t)
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        _, losses = jax.lax.scan(body, state, jnp.arange(steps))
+        return jnp.sum(losses)
+
+    for steps in (steps_small, steps_large):
+        _timed_scalar(run, state, pixels, tokens, steps)
+    t_small = min(_timed_scalar(run, state, pixels, tokens, steps_small) for _ in range(2))
+    t_large = min(_timed_scalar(run, state, pixels, tokens, steps_large) for _ in range(2))
+    return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
+
+
 def bench_knn_500k(n: int = 500_000, d: int = 512, k: int = 51) -> float:
     """BASELINE.json acceptance target: exact kNN over 500k CC3M-scale
     pairs in < 1 min (the reference caps its comparison set at 50k because
@@ -233,6 +275,8 @@ def main():
     knn_rate_k6 = bench_knn(k=6)  # the CLI default knn_k=5 (+1 exclusion)
     knn_rate_fast = bench_knn(precision="high")  # opt-in bf16x3 scores
     knn_500k = bench_knn_500k()
+    train_rate = bench_train_step()
+    train_rate_bf16 = bench_train_step(precision="bf16")
     e2e = bench_e2e_detect()
     result = {
         "metric": "clip_vitb32_image_embeddings_per_sec_per_chip",
@@ -244,6 +288,8 @@ def main():
         "knn_pairs_per_sec_k6": round(knn_rate_k6, 0),
         "knn_pairs_per_sec_bf16x3": round(knn_rate_fast, 0),
         "knn_500k_seconds": round(knn_500k, 1),
+        "clip_train_pairs_per_sec": round(train_rate, 1),
+        "clip_train_pairs_per_sec_bf16": round(train_rate_bf16, 1),
         **e2e,
         "backend": backend,
     }

@@ -34,6 +34,8 @@ def build_parser():
     p.add_argument("--save_interval", type=int, default=5000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_seed", type=int, default=0)
+    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                   help="bf16 = TPU fast path (bf16 compute, fp32 params/LN)")
     p.add_argument("--context_length", type=int, default=None)
     p.add_argument("--cc3m_filtering", default=None, help="prior LEMoN run dir")
     p.add_argument("--cc3m_filtering_n", type=int, default=-1)
@@ -120,6 +122,7 @@ def main(argv=None):
         learning_rate=args.lr, weight_decay=args.weight_decay, optimizer=args.optimizer,
         warmup_steps=args.warmup_steps, total_steps=args.total_steps,
         batch_size=args.batch_size, save_interval=args.save_interval, seed=args.seed,
+        precision=args.precision,
     )
     model, state = create_train_state(model_cfg, tcfg, mesh=mesh)
     batches = batch_iterator(train, model_cfg.context_length, args.batch_size,

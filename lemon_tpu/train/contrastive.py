@@ -42,6 +42,9 @@ class TrainConfig:
     batch_size: int = 256
     save_interval: int = 5000
     seed: int = 0
+    # 'fp32' (reference parity: torch trains fp32) | 'bf16' (TPU fast
+    # path: bf16 compute, fp32 params/LN — ~3x the step rate on v5e)
+    precision: str = "fp32"
 
 
 def make_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -77,7 +80,10 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(model_cfg: ClipConfig, train_cfg: TrainConfig, mesh=None) -> Tuple[ClipModel, TrainState]:
-    model, params = init_params(model_cfg, seed=train_cfg.seed)
+    from lemon_tpu.core.precision import Precision
+
+    prec = Precision.bf16() if train_cfg.precision == "bf16" else Precision()
+    model, params = init_params(model_cfg, seed=train_cfg.seed, precision=prec)
     tx = make_optimizer(train_cfg)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:

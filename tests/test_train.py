@@ -49,6 +49,25 @@ def test_single_device_step_decreases_loss():
     assert np.isfinite(losses).all()
 
 
+def test_bf16_precision_training_decreases_loss():
+    """TrainConfig(precision='bf16') — the TPU fast path (bf16 compute,
+    fp32 params/LN) — trains: finite, decreasing loss, fp32 params."""
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10, batch_size=8,
+                       precision="bf16")
+    model, state = create_train_state(cfg, tcfg)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # params stay fp32
+    step = make_train_step(model)
+    pixels, tokens = make_batch(cfg, 8)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, jnp.asarray(pixels), jnp.asarray(tokens))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
 def test_mesh_step_matches_single_device():
     """Global-batch InfoNCE under DP must equal the single-device loss —
     GSPMD inserts the all-gather; semantics must not change."""
