@@ -151,6 +151,38 @@ def test_high_precision_path(rng):
     assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.95
 
 
+def test_tiled_search_randomized_shape_sweep(rng):
+    """Seeded sweep across odd shapes, metrics, tiles, and both gather
+    paths vs the numpy oracle — regression armor for the tiling planner,
+    sentinel masking, and block-major layout (duplicate rows force exact
+    cross-block ties)."""
+    from lemon_tpu.knn.index import _tiled_search
+
+    cases = [
+        # (n_db, d, k, tile, metric)  — mix of aligned/unaligned sizes
+        (1000, 16, 7, 4 * 7 * 128, "ip"),
+        (2200, 8, 3, 2048, "l2"),
+        (6528, 24, 12, 6528, "ip"),
+        (900, 16, 20, 4 * 20 * 128, "l2"),
+        (3100, 8, 5, 1024, "ip"),
+    ]
+    for n_db, d, k, tile, metric in cases:
+        xq = rng.standard_normal((9, d)).astype(np.float32)
+        xb = rng.standard_normal((n_db, d)).astype(np.float32)
+        xb[n_db // 2] = xb[1]  # exact tie across distant indices
+        ref_s, ref_i = numpy_search(xb, xq, k, metric)
+        for use_pallas in (False, True):
+            s, i = _tiled_search(jnp.asarray(xq), jnp.asarray(xb), k=k, metric=metric,
+                                 tile=tile, n_valid=n_db, use_pallas=use_pallas)
+            s, i = np.asarray(s), np.asarray(i)
+            assert not np.isnan(s).any(), (n_db, k, tile, metric, use_pallas)
+            want = -ref_s if metric == "l2" else ref_s
+            np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-4,
+                                       err_msg=str((n_db, k, tile, metric, use_pallas)))
+            same = (i == ref_i).mean()
+            assert same == 1.0 or same > 0.98, (n_db, k, tile, metric, use_pallas, same)
+
+
 def test_sharded_search_with_pallas_path(rng):
     """The fused Pallas kernels compose with the shard_map'd sharded search
     (interpret mode on the CPU mesh; same code path the TPU compiles)."""
