@@ -71,7 +71,11 @@ def run_capfilt(
     splits, encoder, label_set = setup(cfg, splits, encoder)
     if itm_score_fn is None:
         ckpt = cfg.itm_checkpoint
-        if ckpt and Path(ckpt).exists():
+        if ckpt:
+            if not Path(ckpt).exists():
+                # an explicit checkpoint must not silently degrade to a
+                # different baseline method (the CLIP proxy head)
+                raise SystemExit(f"--itm_checkpoint does not exist: {ckpt}")
             itm_score_fn = hf_blip_itm_scorer(ckpt)
         else:
             print("[capfilt] no BLIP-ITM checkpoint; using the CLIP ITM proxy head")

@@ -219,7 +219,7 @@ class VdcPipeline:
         }
 
 
-def load_cifar10_specific_questions(path=None) -> Dict[str, List[Tuple[str, str]]]:
+def load_cifar10_specific_questions(path=None, map_int_labels: bool | None = None) -> Dict[str, List[Tuple[str, str]]]:
     """Canned per-class questions (lib/vdc/cifar10_specific_InstructBLIP.csv,
     run_vdc.py:126-128). CSV columns: label, question, answer. Integer
     labels are mapped to the CIFAR-10 class names exactly as the reference
@@ -227,6 +227,10 @@ def load_cifar10_specific_questions(path=None) -> Dict[str, List[Tuple[str, str]
     the reference's QA table (see THIRD_PARTY.md)."""
     import pandas as pd
 
+    if map_int_labels is None:
+        # only the vendored CIFAR-10 table gets the int -> class-name
+        # mapping by default; custom CSVs keep their labels verbatim
+        map_int_labels = path is None
     if path is None:
         from pathlib import Path
 
@@ -241,7 +245,7 @@ def load_cifar10_specific_questions(path=None) -> Dict[str, List[Tuple[str, str]
             idx = int(label)
         except (TypeError, ValueError):
             idx = None
-        if idx is not None:
+        if idx is not None and map_int_labels:
             if names is None:
                 from lemon_tpu.data.labels import LABEL_SETS
 

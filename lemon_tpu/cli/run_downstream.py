@@ -85,8 +85,9 @@ def main(argv=None):
         dataset = args.dataset or "cifar10c"
         assert args.task == "classification", "cifar10c eval is a classification mode"
         assert args.eval_checkpoints, "--epochs 0 robustness mode needs --eval_checkpoints"
-        if not (dataset == "cifar10c" or dataset.startswith("synthetic")):
-            raise SystemExit(f"robustness mode evaluates cifar10c (or a synthetic stand-in), not {dataset}")
+        if not (dataset == "cifar10c"
+                or (dataset.startswith("synthetic") and not dataset.startswith("synthetic_caption"))):
+            raise SystemExit(f"robustness mode evaluates cifar10c (or a synthetic classification stand-in), not {dataset}")
         model_cfg = ClipConfig.tiny() if args.model_size == "tiny" else ClipConfig.vit_b32()
         cfg = DownstreamConfig(
             num_classes=len(LABEL_SETS["cifar10"]), batch_size=args.batch_size,

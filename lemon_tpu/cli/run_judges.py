@@ -233,6 +233,28 @@ def main(argv=None):
     _, val, test = get_dataset(args.dataset, args.data_seed, noise_level=args.noise_level,
                                noise_type=args.noise_type, synthetic_n=args.synthetic_n)
 
+    def captionize(split):
+        """Classification splits judge their LABELS as text: sentence =
+        label_set[noisy], gold = label_set[clean] — bare class names, the
+        reference's clf-dataset frame (run_vdc.py:88-101); these are also
+        the keys of the per-class specific-QA table."""
+        if hasattr(split, "sentence"):
+            return split
+        import numpy as _np
+
+        from lemon_tpu.data.datasets import CaptioningSplit
+        from lemon_tpu.data.labels import LABEL_SETS
+
+        names = LABEL_SETS.get(args.dataset, LABEL_SETS["cifar10"])
+        return CaptioningSplit(
+            sentence=_np.array([names[y] for y in split.y_noisy], object),
+            gold_sentence=_np.array([names[y] for y in split.y_clean], object),
+            images=split.images,
+            paths=split.paths,
+        )
+
+    val, test = captionize(val), captionize(test)
+
     specific_qa = None
     if args.specific_qa_csv:
         specific_qa = load_cifar10_specific_questions(

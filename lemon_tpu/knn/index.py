@@ -109,7 +109,7 @@ def _scores_block(q: jnp.ndarray, db: jnp.ndarray, metric: str, db_sqnorm=None, 
 _BLOCK = 128  # lane width; blockmax prefilter granularity
 
 
-def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pallas: bool, gather: str = "take"):
+def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pallas: bool, gather: str = "take", n_valid: int | None = None):
     """Top-k of a masked score block given its precomputed block maxima.
 
     ``sb``: (B, n_blocks, 128) scores with invalid columns already masked
@@ -155,7 +155,15 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
     # k-wide gather over block_ids instead of materializing and gathering
     # a (B, k*128) column matrix (measured 0.50 -> ~0.02 us/row at k=51).
     slot_ids = jnp.take_along_axis(block_ids, pos // _BLOCK, axis=1)
-    return out_s, start + slot_ids * _BLOCK + pos % _BLOCK
+    idx = start + slot_ids * _BLOCK + pos % _BLOCK
+    if n_valid is not None:
+        # Padding slots (-inf) otherwise carry whatever masked column they
+        # came from — with 8-block alignment padding that can exceed even
+        # the padded database length. Pin them to exactly n_valid (the
+        # _tile_topk small-tile convention): still out-of-range per the
+        # contract, but bounded and deterministic.
+        idx = jnp.where(jnp.isneginf(out_s), n_valid, idx)
+    return out_s, idx
 
 
 def _tile_topk(s: jnp.ndarray, start: int | jnp.ndarray, k: int, n_valid: int, use_pallas: bool = False):
@@ -188,7 +196,7 @@ def _tile_topk(s: jnp.ndarray, start: int | jnp.ndarray, k: int, n_valid: int, u
     n_blocks = t // _BLOCK
     sb = s.reshape(b, n_blocks, _BLOCK)
     bmax = jnp.max(sb, axis=2)
-    return _blockmax_select(sb, bmax, start, k, use_pallas)
+    return _blockmax_select(sb, bmax, start, k, use_pallas, n_valid=n_valid)
 
 
 def auto_tile(n_db: int, n_queries: int, budget_bytes: int = 4 << 30) -> int:
@@ -243,7 +251,7 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_p
             # 14.6 B pairs/s) but a loss under fp32-HIGHEST where the MXU
             # is already the bottleneck (11.0 -> 8.4); gate by precision.
             gather = "onehot" if precision == "high" else "take"
-            return _blockmax_select(s, bmax, start, k, use_pallas, gather=gather)
+            return _blockmax_select(s, bmax, start, k, use_pallas, gather=gather, n_valid=n_valid)
         s = _scores_block(xq, db, metric, dbsq, precision)
         return _tile_topk(s, start, k, n_valid, use_pallas)
 

@@ -137,6 +137,32 @@ def test_vdc_pipeline_end_to_end():
     assert calls == [3, 3]  # 2 common + 1 specific, one VLM call per example
 
 
+def test_run_judges_classification_dataset_with_builtin_qa(tmp_path):
+    """Classification splits judge their labels as text (run_vdc.py:88-101):
+    sentences are bare class names, which are exactly the builtin QA
+    table's keys — the per-class specific questions must actually fire."""
+    import pickle
+
+    from lemon_tpu.cli.run_judges import main
+    from lemon_tpu.data.labels import LABEL_SETS
+
+    out = tmp_path / "vdc_clf"
+    main([
+        "--judge", "vdc", "--output_dir", str(out), "--backend", "echo",
+        "--dataset", "synthetic", "--noise_type", "symmetric",
+        "--specific_qa_csv", "builtin", "--synthetic_n", "60", "--debug",
+    ])
+    assert (out / "done").exists()
+    df = pickle.load(open(out / "res.pkl", "rb"))["df"]
+    names = set(LABEL_SETS["cifar10"])
+    assert set(df["noisy_label"]).issubset(names)  # captionized labels
+    # echo backend: 2 common questions -> without specific QA every score
+    # is a multiple of 1/2; specific QA adds 4 answers -> granularity 1/6
+    sixths = np.round(df["pred_score"].to_numpy() * 6)
+    np.testing.assert_allclose(df["pred_score"].to_numpy(), sixths / 6, atol=1e-9)
+    assert any(s not in (0.0, 0.5, 1.0) for s in df["pred_score"])
+
+
 def test_vendored_cifar10_specific_qa():
     """The vendored VDC QA table loads with integer labels mapped to the
     CIFAR-10 class names (run_vdc.py:126-128 cifar10_labels[x])."""
