@@ -45,6 +45,13 @@ class TrainConfig:
     # 'fp32' (reference parity: torch trains fp32) | 'bf16' (TPU fast
     # path: bf16 compute, fp32 params/LN — ~3x the step rate on v5e)
     precision: str = "fp32"
+    # Apply the optimizer over a single flattened parameter vector
+    # (optax.flatten). Identical math; changes the opt-state checkpoint
+    # layout, so resumes must use the same setting. Measured SLOWER on
+    # v5e (full step 124 -> 150 ms at B=256: the ravel/unravel of
+    # ~600MB trees outweighs the per-leaf overhead it removes —
+    # benchmarks/probe_train.py); kept opt-in for profiling only.
+    fused_optimizer: bool = False
 
 
 def make_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -59,10 +66,12 @@ def make_schedule(cfg: TrainConfig) -> optax.Schedule:
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = make_schedule(cfg)
     if cfg.optimizer == "adamw":
-        return optax.adamw(schedule, weight_decay=cfg.weight_decay)
-    if cfg.optimizer == "sgd":
-        return optax.sgd(schedule, momentum=cfg.momentum)
-    raise ValueError(cfg.optimizer)
+        tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(schedule, momentum=cfg.momentum)
+    else:
+        raise ValueError(cfg.optimizer)
+    return optax.flatten(tx) if cfg.fused_optimizer else tx
 
 
 def clip_loss(logits_per_image: jnp.ndarray, logits_per_text: jnp.ndarray) -> jnp.ndarray:

@@ -49,6 +49,26 @@ def test_single_device_step_decreases_loss():
     assert np.isfinite(losses).all()
 
 
+def test_fused_optimizer_matches_per_leaf_trajectory():
+    """TrainConfig.fused_optimizer (optax.flatten) must be a pure layout
+    change: identical loss trajectory to the per-leaf optimizer."""
+    cfg = ClipConfig.tiny()
+    pixels, tokens = make_batch(cfg, 8)
+    trajectories = {}
+    for fused in (False, True):
+        tcfg = TrainConfig(
+            learning_rate=1e-3, warmup_steps=1, total_steps=10, fused_optimizer=fused
+        )
+        model, state = create_train_state(cfg, tcfg)
+        step = make_train_step(model)
+        tr = []
+        for _ in range(4):
+            state, loss = step(state, jnp.asarray(pixels), jnp.asarray(tokens))
+            tr.append(float(loss))
+        trajectories[fused] = tr
+    np.testing.assert_allclose(trajectories[False], trajectories[True], rtol=0, atol=1e-6)
+
+
 def test_bf16_precision_training_decreases_loss():
     """TrainConfig(precision='bf16') — the TPU fast path (bf16 compute,
     fp32 params/LN) — trains: finite, decreasing loss, fp32 params."""
