@@ -16,7 +16,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
-from lemon_tpu.detect import _texts_for_split
+from lemon_tpu.detect import _is_clf, _texts_for_split
 from lemon_tpu.scoring.distance_metrics import pair_distances
 
 
@@ -26,7 +26,13 @@ def run_clip_sim(cfg: BaselineConfig, out_dir: Optional[Path] = None, splits=Non
     scores, flips, split_tags = {}, [], []
     for sname in ("train", "val", "test"):
         split = splits[sname]
-        noisy_texts, _, _, _ = _texts_for_split(cfg, split, label_set)
+        if _is_clf(cfg):
+            # run_clip_sim.py:198-216 embeds the BARE class word — no
+            # 'A photo of a' prompt (unlike run_lemon/zero-shot); verified
+            # by the live-reference parity run.
+            noisy_texts = [label_set[int(i) % len(label_set)] for i in split.y_noisy]
+        else:
+            noisy_texts, _, _, _ = _texts_for_split(cfg, split, label_set)
         img, txt = encoder.embed_split(split, noisy_texts)
         scores[sname] = pair_distances(txt, img, cfg.dist_type)
         flips.append(split.is_mislabel)

@@ -47,8 +47,11 @@ def main():
                     help="captioning fixture dir (multimodal_mislabel_split.pkl) "
                          "or a dir containing data/cifar-10-batches-py")
     ap.add_argument("--hf_checkpoint", required=True)
+    ap.add_argument("--script", default="run_lemon.py",
+                    help="reference script to execute, relative to the reference "
+                         "root (e.g. lib/baselines/discrepancy_baseline.py)")
     ap.add_argument("rest", nargs=argparse.REMAINDER,
-                    help="-- then run_lemon.py args")
+                    help="-- then the script's own args")
     args = ap.parse_args()
     run_lemon_args = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
 
@@ -84,14 +87,28 @@ def main():
 
     ref_models.algorithm_class_from_scratch = local_algorithm_class_from_scratch
 
+    # Shipped defect in run_clip_sim.py: both --img_base_name CLI choices
+    # ('clipvisionmodel'/'clipvisionmodelvit') are unhandled by get_img_base
+    # (lib/models/utils.py:49-61 raises NotImplementedError), so the script
+    # cannot start as released. The value is unused for huggingface_clip;
+    # return None for exactly those dead names and leave the rest intact.
+    _ref_get_img_base = ref_models.get_img_base
+
+    def local_get_img_base(name, *a, **k):
+        if name in ("clipvisionmodel", "clipvisionmodelvit"):
+            return None
+        return _ref_get_img_base(name, *a, **k)
+
+    ref_models.get_img_base = local_get_img_base
+
     # ./data for the CIFAR branch (torchvision shim reads the pickles)
     if (fixture / "data").is_dir():
         os.chdir(fixture)
     else:
         os.chdir(fixture.parent)
 
-    sys.argv = ["run_lemon.py", *run_lemon_args]
-    runpy.run_path(str(REFERENCE / "run_lemon.py"), run_name="__main__")
+    sys.argv = [Path(args.script).name, *run_lemon_args]
+    runpy.run_path(str(REFERENCE / args.script), run_name="__main__")
 
 
 if __name__ == "__main__":

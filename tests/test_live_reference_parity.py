@@ -53,7 +53,11 @@ def parity_fixtures(tmp_path_factory):
     ck = build_checkpoint(base / "ckpt")
     caption = build_caption_fixture(base / "caption")
     cifar = build_cifar_fixture(base / "cifar" / "data")
-    return {"ckpt": ck, "caption": caption, "cifar_root": cifar, "cifar_fixture": base / "cifar"}
+    # batch-divisible splits (512/64/64) for the npy-contract baselines:
+    # the reference's np.array(all_label_flips) needs equal-length batches
+    cifar640 = build_cifar_fixture(base / "cifar640" / "data", n_train=640)
+    return {"ckpt": ck, "caption": caption, "cifar_root": cifar, "cifar_fixture": base / "cifar",
+            "cifar640_root": cifar640, "cifar640_fixture": base / "cifar640"}
 
 
 def _run_lemon_tpu(out_dir, golden_key, extra_env, monkeypatch):
@@ -116,6 +120,102 @@ def test_cifar_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkey
         monkeypatch,
     )
     _assert_parity(agg, "cifar", "ref_cifar_scores.csv", out)
+
+
+def _run_baseline_cli(out_dir, extra_env, monkeypatch, argv):
+    for k, v in extra_env.items():
+        monkeypatch.setenv(k, str(v))
+    from lemon_tpu.cli.run_baseline import main as run_baseline_main
+
+    run_baseline_main(["--output_dir", str(out_dir), *argv])
+
+
+@pytest.mark.parametrize("method", ["dis_y", "div_x"])
+def test_discrepancy_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkeypatch, method):
+    """lib/baselines/discrepancy_baseline.py live outputs (golden-pinned)."""
+    import pandas as pd
+
+    out = tmp_path / f"disc_{method}"
+    _run_baseline_cli(
+        out,
+        {"LEMON_TPU_PATH_MSCOCO": parity_fixtures["caption"],
+         "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]},
+        monkeypatch,
+        ["--baseline", "discrepancy", "--method", method, "--dataset", "mscoco",
+         "--noise_type", "random", "--noise_level", "0.4", "--knn_k", "5",
+         "--seed", "0", "--data_seed", "0"],
+    )
+    ref = pd.read_csv(HARNESS / "goldens" / f"ref_disc_{method}_scores.csv")
+    got = pd.read_csv(out / "scores.csv")
+    np.testing.assert_array_equal(ref["is_mislabel"].values, got["is_mislabel"].values)
+    d = np.abs(ref["pred_score"].values - got["pred_score"].values).max()
+    assert d <= 1e-4, f"discrepancy {method} drifted from live reference: {d}"
+    agg = pickle.load(open(out / "res.pkl", "rb"))["agg_results"]
+    for s in ("val", "test"):
+        assert abs(float(agg[s]["AUROC"]) - GOLDENS[f"disc_{method}"][f"{s}_AUROC"]) <= 1e-3
+
+
+def test_zero_shot_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkeypatch):
+    """train_zero_shot_clip_baseline.py live dists.npy (golden-pinned)."""
+    out = tmp_path / "zs"
+    _run_baseline_cli(
+        out,
+        {"LEMON_TPU_DATA_ROOT": parity_fixtures["cifar640_root"],
+         "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]},
+        monkeypatch,
+        ["--baseline", "zero_shot", "--dataset", "cifar10", "--noise_type", "symmetric",
+         "--noise_level", "0.4", "--seed", "0", "--data_seed", "0"],
+    )
+    ref = np.load(HARNESS / "goldens" / "ref_zero_shot_dists.npy")
+    got = np.load(out / "dists.npy")
+    assert ref.shape == got.shape
+    assert np.abs(ref - got).max() <= 1e-4
+
+
+def test_clip_sim_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkeypatch):
+    """run_clip_sim.py live dists.npy (golden-pinned). Guards the
+    bare-class-word text contract (no 'A photo of a' prompt)."""
+    out = tmp_path / "cs"
+    _run_baseline_cli(
+        out,
+        {"LEMON_TPU_DATA_ROOT": parity_fixtures["cifar640_root"],
+         "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]},
+        monkeypatch,
+        ["--baseline", "clip_sim", "--dataset", "cifar10", "--noise_type", "symmetric",
+         "--noise_level", "0.4", "--seed", "0", "--data_seed", "0"],
+    )
+    ref = np.load(HARNESS / "goldens" / "ref_clip_sim_dists.npy")
+    got = np.load(out / "dists.npy")
+    assert ref.shape == got.shape
+    assert np.abs(ref - got).max() <= 1e-4
+
+
+def test_capfilt_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkeypatch):
+    """run_capfilt_baseline.py live ITM scores through the same tiny
+    BLIP-ITM checkpoint (golden stores softmax[:,1] of the reference's raw
+    2-logit itm_score)."""
+    sys.path.insert(0, str(Path(__file__).parent))
+    try:
+        from tiny_checkpoints import build_tiny_blip_itm
+    finally:
+        sys.path.pop(0)
+    itm_dir = build_tiny_blip_itm(tmp_path / "blip_itm")
+    out = tmp_path / "capfilt"
+    _run_baseline_cli(
+        out,
+        {"LEMON_TPU_PATH_MSCOCO": parity_fixtures["caption"],
+         "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]},
+        monkeypatch,
+        ["--baseline", "capfilt", "--itm_checkpoint", itm_dir, "--dataset", "mscoco",
+         "--noise_type", "cat", "--noise_level", "0.3", "--seed", "0", "--data_seed", "0"],
+    )
+    ref = np.load(HARNESS / "goldens" / "ref_capfilt.npz")
+    got = pickle.load(open(out / "full_loss_dict.pkl", "rb"))
+    got_flips = pickle.load(open(out / "flip_labels.pkl", "rb"))
+    for s in ("train", "val", "test"):
+        np.testing.assert_array_equal(ref[f"flips_{s}"], np.asarray(got_flips[s]).astype(np.int64))
+        d = np.abs(ref[f"pmatch_{s}"] - np.asarray(got[s])).max()
+        assert d <= 1e-5, f"capfilt {s} drifted from live reference: {d}"
 
 
 @pytest.mark.skipif(not os.environ.get("LEMON_TPU_LIVE_REFERENCE"),
