@@ -179,40 +179,58 @@ def vdc_score(
     return 1.0 - matches / max(total, 1)
 
 
+# The two fixed "common" questions every example is asked; their free-form
+# answers are LLM-adjudicated against the caption (run_vdc.py:123-124).
+VDC_COMMON_QUESTIONS: Tuple[str, ...] = (
+    "Describe the image in detail.",
+    "Provide a detailed description of the given image.",
+)
+
+
 @dataclasses.dataclass
 class VdcPipeline:
-    """The full 3-stage loop: question generation (LLM), visual question
-    answering (VLM), answer evaluation (LLM + token match)."""
+    """The full 3-stage loop, composed exactly as run_vdc.py:123-166:
+
+    - **common** questions: the two fixed describe-the-image prompts
+      (VDC_COMMON_QUESTIONS); responses adjudicated against the caption by
+      the LLM (vae.py eval_llama).
+    - **specific** questions: the canned per-label table when the label has
+      one (run_vdc.py:136 — VQG is skipped entirely), otherwise
+      VQG-generated from the caption (:138-140). Responses are
+      token-matched against an expected answer of ``'yes'`` regardless of
+      source — the reference passes ``['yes'] * len`` even for the canned
+      table whose answer column it ignores (:166).
+    """
 
     llm_generate: Callable
     vlm_answer: Callable  # (image, question) -> answer text
     specific_qa: Optional[Dict[str, List[Tuple[str, str]]]] = None  # label -> [(q, a)]
     # (images, questions) -> [answer text]; when set, an example's
-    # questions (≤6 common + class-specific) are answered in batched VLM
+    # questions (2 common + class-specific) are answered in batched VLM
     # calls of at most ``batch_size`` instead of one call per question.
     vlm_answer_batch: Optional[Callable] = None
     batch_size: int = 16
 
     def score_example(self, image, caption: str, label: Optional[str] = None, clf: bool = False) -> Dict:
-        questions = generate_questions(caption, self.llm_generate, clf=clf)
-        specific = []
+        common = list(VDC_COMMON_QUESTIONS)
         if self.specific_qa and label is not None and label in self.specific_qa:
-            specific = list(self.specific_qa[label])
-        specific_answers = [answer for _, answer in specific]
+            specific_qs = [question for question, _ in self.specific_qa[label]]
+        else:
+            specific_qs = generate_questions(caption, self.llm_generate, clf=clf)
+        specific_answers = ["yes"] * len(specific_qs)
+        all_questions = common + specific_qs
         if self.vlm_answer_batch is not None:
-            all_questions = questions + [question for question, _ in specific]
             all_responses = []
             for start in range(0, len(all_questions), max(self.batch_size, 1)):
                 chunk = all_questions[start:start + max(self.batch_size, 1)]
                 all_responses.extend(self.vlm_answer_batch([image] * len(chunk), chunk))
-            common_responses = all_responses[:len(questions)]
-            specific_responses = all_responses[len(questions):]
         else:
-            common_responses = [self.vlm_answer(image, q) for q in questions]
-            specific_responses = [self.vlm_answer(image, question) for question, _ in specific]
+            all_responses = [self.vlm_answer(image, q) for q in all_questions]
+        common_responses = all_responses[: len(common)]
+        specific_responses = all_responses[len(common):]
         score = vdc_score(caption, common_responses, specific_responses, specific_answers, self.llm_generate)
         return {
-            "questions": questions,
+            "questions": all_questions,
             "common_responses": common_responses,
             "specific_responses": specific_responses,
             "score": score,

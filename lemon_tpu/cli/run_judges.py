@@ -232,6 +232,10 @@ def main(argv=None):
 
     _, val, test = get_dataset(args.dataset, args.data_seed, noise_level=args.noise_level,
                                noise_type=args.noise_type, synthetic_n=args.synthetic_n)
+    # Classification datasets take the reference's clf VQG frame — which,
+    # per run_vdc.py:138 + vqg.py, is the CAPTION-worded prompt (the
+    # reference's clf/caption prompt naming is inverted; parity keeps it).
+    is_clf = not hasattr(val, "sentence")
 
     def captionize(split):
         """Classification splits judge their LABELS as text: sentence =
@@ -298,7 +302,7 @@ def main(argv=None):
             # label; for classification-as-caption datasets the caption IS
             # that label string).
             scores = [
-                pipe.score_example(images[i], captions[i], label=captions[i])["score"]
+                pipe.score_example(images[i], captions[i], label=captions[i], clf=is_clf)["score"]
                 for i in range(len(split))
             ]
         rows.append(pd.DataFrame({

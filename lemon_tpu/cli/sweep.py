@@ -238,7 +238,15 @@ def main(argv=None):
         return
 
     live = _live_slurm_ids()
-    to_launch = [j for j in jobs if j.state(live) in (JobState.NOT_LAUNCHED, JobState.INCOMPLETE)]
+    # Honor the retry budget here too: a job the daemon quarantined as
+    # FAILED must not be blindly relaunched by a later plain `launch`
+    # (the summary above already displays it as FAILED — keep display and
+    # action consistent). `delete_incomplete` (or deleting the run dir's
+    # `attempts` file) is the explicit way to re-arm it.
+    to_launch = [
+        j for j in jobs
+        if j.state(live, args.retry_budget) in (JobState.NOT_LAUNCHED, JobState.INCOMPLETE)
+    ]
     if not args.yes and len(to_launch) > 20:
         reply = input(f"launch {len(to_launch)} jobs with '{args.command_launcher}'? [y/N] ")
         if reply.lower() != "y":

@@ -86,6 +86,14 @@ class ShardedUint8Store:
         if isinstance(idx, slice):
             idx = np.arange(*idx.indices(len(self)))
         idx = np.asarray(idx, np.int64)
+        # ndarray duck-typing: resolve negative indices (store[-1] etc.)
+        # before the shard lookup — searchsorted would map them to a bogus
+        # shard/offset, and the native engine rejects them.
+        if idx.size and (idx.min() < -len(self) or idx.max() >= len(self)):
+            raise IndexError(
+                f"index out of range for store of length {len(self)}"
+            )
+        idx = np.where(idx < 0, idx + len(self), idx)
         # Batch reads take the native threaded-pread engine; the numpy
         # memmap path below stays as the fallback and the test oracle.
         if len(idx) >= 32:

@@ -218,12 +218,15 @@ def auto_tile(n_db: int, n_queries: int, budget_bytes: int = 4 << 30) -> int:
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "n_valid", "use_pallas", "precision"))
-def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_pallas: bool = False, precision: str = "highest"):
+def _tiled_search_impl(xq, xb, *, k: int, metric: str, tile: int, n_valid, use_pallas: bool = False, precision: str = "highest"):
     """Scan DB tiles carrying a running (score, index) top-k per query row.
 
     ``xb`` may have any length; it is padded to a tile multiple inside the
-    program (padding rows are masked by ``n_valid``). With ``use_pallas``
+    program (padding rows are masked by ``n_valid`` — a Python int through
+    the jitted :func:`_tiled_search` wrapper, where it stays a compile-time
+    constant the Pallas kernel folds, or a traced int32 scalar on the
+    sharded path, which passes each shard's own valid count so padding
+    rows can never evict real candidates from the per-shard top-k). With ``use_pallas``
     (TPU fast path) the per-tile score matmul + mask + blockmax run as one
     fused Pallas kernel and the final candidate select as the iterative
     Pallas top-k (ops/scoremax.py, ops/topk.py)."""
@@ -280,6 +283,18 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_p
     return scores, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "n_valid", "use_pallas", "precision"))
+def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_pallas: bool = False, precision: str = "highest"):
+    """Jitted single-device entry: ``n_valid`` is static (a Python int) so
+    the fused kernel's validity mask folds at compile time. The sharded
+    path calls :func:`_tiled_search_impl` directly with a traced per-shard
+    count."""
+    return _tiled_search_impl(
+        xq, xb, k=k, metric=metric, tile=tile, n_valid=n_valid,
+        use_pallas=use_pallas, precision=precision,
+    )
+
+
 # ---------------------------------------------------------------------------
 # mesh-sharded search
 
@@ -294,9 +309,14 @@ def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, use_pallas: b
         # xq replicated; xb_shard: this device's rows. Indices are globalized
         # with the shard's row offset before merging.
         my = jax.lax.axis_index(DATA_AXIS)
-        s, i = _tiled_search(
+        # n_valid must be THIS shard's valid-row count, not the padded
+        # shard size: zero-padding rows score 0 ('ip') / -||q||^2 ('l2')
+        # and would otherwise compete inside the per-shard top-k, evicting
+        # genuine low-similarity neighbors before the post-hoc mask below
+        # can drop them (FAISS would return those rows).
+        s, i = _tiled_search_impl(
             xq, xb_shard, k=k, metric=metric, tile=tile,
-            n_valid=xb_shard.shape[0], use_pallas=use_pallas, precision=precision,
+            n_valid=shard_valid[my], use_pallas=use_pallas, precision=precision,
         )
         valid = i < shard_valid[my]
         s = jnp.where(valid, s, _NEG_INF)

@@ -46,7 +46,7 @@ def _dot_t(a, b, precision):
     )
 
 
-def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, metric, tile_cols, n_valid, n_local, precision):
+def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, nvalid_ref, s_ref, bmax_ref, *, metric, tile_cols, n_valid_static, n_local, precision):
     j = pl.program_id(1)
     n_bmax_lanes = bmax_ref.shape[1]
     if precision == "high":
@@ -73,7 +73,12 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
     col = start_ref[0, 0] + local
     # two masks: the caller's global validity bound AND this call's own
     # 8-block alignment padding (local >= n_local), which on intermediate
-    # tiles of a larger database sits BELOW n_valid in global terms
+    # tiles of a larger database sits BELOW n_valid in global terms.
+    # n_valid is a compile-time constant when the caller passed a Python
+    # int (single-device path: Mosaic folds the compare away on interior
+    # tiles) and an SMEM runtime scalar otherwise (sharded path: each
+    # shard masks by its own valid-row count).
+    n_valid = nvalid_ref[0, 0] if n_valid_static is None else n_valid_static
     s = jnp.where((col < n_valid) & (local < n_local), s, MASKED)
     # Stored block-major 3-D: (rows, blocks, 128). The consumer gathers
     # whole 128-lane blocks (knn/index.py:_blockmax_select); emitting that
@@ -109,13 +114,14 @@ def _kernel(q_ref, db_ref, qsq_ref, dbsq_ref, start_ref, s_ref, bmax_ref, *, met
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "n_valid", "n_local", "block_rows", "tile_cols", "precision", "interpret"),
+    static_argnames=("metric", "n_valid_static", "n_local", "block_rows", "tile_cols", "precision", "interpret"),
 )
-def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, n_local, block_rows, tile_cols, precision, interpret):
+def _fused_padded(q, db, qsq, dbsq, start, nvalid, *, metric, n_valid_static, n_local, block_rows, tile_cols, precision, interpret):
     b, d = q.shape
     t = db.shape[0]
     kernel = functools.partial(
-        _kernel, metric=metric, tile_cols=tile_cols, n_valid=n_valid, n_local=n_local, precision=precision
+        _kernel, metric=metric, tile_cols=tile_cols, n_valid_static=n_valid_static,
+        n_local=n_local, precision=precision
     )
     return pl.pallas_call(
         kernel,
@@ -125,6 +131,7 @@ def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, n_local, block_ro
             pl.BlockSpec((tile_cols, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_cols), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -136,7 +143,7 @@ def _fused_padded(q, db, qsq, dbsq, start, *, metric, n_valid, n_local, block_ro
             jax.ShapeDtypeStruct((b, t // _LANES), jnp.float32),
         ),
         interpret=interpret,
-    )(q, db, qsq, dbsq, start)
+    )(q, db, qsq, dbsq, start, nvalid)
 
 
 def plan_tile_cols(t: int, requested_cols: int) -> tuple[int, int]:
@@ -179,7 +186,7 @@ def fused_scores_blockmax(
     db_sqnorm=None,
     *,
     start=0,
-    n_valid: int | None = None,
+    n_valid=None,  # int or traced int32 scalar (per-shard counts)
     # Tiling swept on v5e: (128, 1024) is ~5% faster kernel-alone for fp32
     # but regresses the full bf16x3 search (13.6 -> 12.1 B pairs/s) and
     # buys nothing end-to-end for fp32; (512, *) and (*, 2048) exceed the
@@ -227,9 +234,11 @@ def fused_scores_blockmax(
         q = jnp.pad(q, ((0, pad_b), (0, 0)))
         qsq = jnp.pad(qsq, ((0, pad_b), (0, 0)))
     start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
+    n_valid_static = int(n_valid) if isinstance(n_valid, (int, np.integer)) else None
+    nvalid_arr = jnp.asarray(0 if n_valid_static is not None else n_valid, jnp.int32).reshape(1, 1)
     s, bmax = _fused_padded(
-        q, db, qsq, dbsq, start_arr,
-        metric=metric, n_valid=int(n_valid), n_local=int(t),
+        q, db, qsq, dbsq, start_arr, nvalid_arr,
+        metric=metric, n_valid_static=n_valid_static, n_local=int(t),
         block_rows=block_rows, tile_cols=tile_cols,
         precision=precision, interpret=interpret,
     )

@@ -238,10 +238,13 @@ def maximize_metric(
                     best_x = res.x
 
     with timer.phase("hparam_proxy_lbfgs"):
-        if use_device_grid:
-            # fast path: all restarts in one device dispatch
+        x0_list = list(x0s)
+        if use_device_grid and x0_list:
+            # fast path: all restarts in one device dispatch (empty x0s
+            # skips the stage like the host branch's zero-iteration loop —
+            # np.asarray([]) would otherwise feed vmap a (0,)-shaped mat)
             arrays, y_signed, fz, fo = _proxy_arrays(logs_val, y, force_zero, force_one)
-            x0_mat = jnp.asarray(np.asarray(list(x0s), np.float64), arrays[0].dtype)
+            x0_mat = jnp.asarray(np.asarray(x0_list, np.float64), arrays[0].dtype)
             for cand in np.asarray(_proxy_lbfgs_device_batch(x0_mat, arrays, y_signed, fz, fo), np.float64):
                 consider(cand)
         else:

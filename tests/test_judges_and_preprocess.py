@@ -6,6 +6,7 @@ import pytest
 
 from lemon_tpu.baselines.judges import (
     LLAVA_QUERY,
+    VDC_COMMON_QUESTIONS,
     VdcPipeline,
     generate_questions,
     llava_mislabel_score,
@@ -119,7 +120,10 @@ def test_vdc_pipeline_end_to_end():
     good = pipe.score_example("cat", "a photo of a cat", label="cat")
     bad = pipe.score_example("dog", "a photo of a cat", label="cat")
     assert good["score"] < bad["score"]
-    assert len(good["questions"]) == 2
+    # 2 fixed common describe-questions + 1 canned specific; the canned
+    # table suppresses VQG entirely (run_vdc.py:136)
+    assert good["questions"][:2] == list(VDC_COMMON_QUESTIONS)
+    assert good["questions"][2:] == ["How many legs?"]
 
     # Batched VQA path: one call answers all of an example's questions
     # (common + specific) and reproduces the per-question results exactly.
@@ -135,6 +139,40 @@ def test_vdc_pipeline_end_to_end():
     assert batched.score_example("cat", "a photo of a cat", label="cat") == good
     assert batched.score_example("dog", "a photo of a cat", label="cat") == bad
     assert calls == [3, 3]  # 2 common + 1 specific, one VLM call per example
+
+
+def test_vdc_composition_matches_reference():
+    """Question composition parity with run_vdc.py:123-166: the canned
+    table suppresses VQG; without a table entry VQG fires with the
+    caller's clf frame; expected specific answers are always 'yes'
+    (run_vdc.py:166 passes ['yes']*len even for the canned table)."""
+    vqg_prompts = []
+
+    def fake_llm(prompt):
+        if "generate some visual questions" in prompt:
+            vqg_prompts.append(prompt)
+            return "Is there a dog?"
+        return "no"
+
+    def fake_vlm(image, question):
+        return "yes it shows a dog"  # token-matches 'yes'
+
+    pipe = VdcPipeline(llm_generate=fake_llm, vlm_answer=fake_vlm,
+                       specific_qa={"cat": [("How many legs?", "4")]})
+    # table hit: no VQG call
+    out = pipe.score_example("img", "cat", label="cat", clf=True)
+    assert vqg_prompts == []
+    assert out["questions"] == list(VDC_COMMON_QUESTIONS) + ["How many legs?"]
+    # the specific response matches 'yes' (not the table's '4'): score
+    # counts it as a match -> 1 - 1/3
+    assert out["score"] == pytest.approx(1 - 1 / 3)
+    # table miss + clf=True: VQG fires with the caption-frame prompt
+    # (the reference's inverted naming, vqg.py clf=True branch)
+    out = pipe.score_example("img", "dog", label="dog", clf=True)
+    assert len(vqg_prompts) == 1 and 'The caption is "dog".' in vqg_prompts[0]
+    # caption datasets (clf=False): label-frame prompt
+    pipe.score_example("img", "a brown dog", label=None)
+    assert 'The label is "a brown dog".' in vqg_prompts[1]
 
 
 def test_run_judges_classification_dataset_with_builtin_qa(tmp_path):

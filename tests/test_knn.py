@@ -95,6 +95,39 @@ def test_sharded_search_matches_numpy():
         np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_search_padding_cannot_evict_real_neighbors():
+    """Regression: per-shard top-k must mask THIS shard's padding rows
+    (zero vectors, score 0 for 'ip' / -||q||^2 for 'l2') before selection.
+    Construct a database where every global top-k neighbor lives in the
+    heavily-padded last shard with NEGATIVE similarity — a post-hoc mask
+    cannot recover them once padding evicts them from the shard's top-k."""
+    mesh = get_mesh()
+    rng = np.random.default_rng(11)
+    n, d, k = 964, 16, 8  # 8 shards of 128 -> last shard 68 real + 60 pad
+    xb = np.zeros((n, d), np.float32)
+    # shards 0..6 (+ start of shard 7): ip vs e0-queries ~= -1
+    xb[:, 0] = -1.0 + rng.uniform(0, 1e-3, n)
+    xb[:, 1] = rng.uniform(0, 1e-3, n)
+    # the last shard's real rows: the TRUE top-k, at ip ~= -0.5 (< 0, so
+    # unmasked padding at score 0 would beat them locally)
+    last = slice(7 * 128, n)
+    xb[last, 0] = -0.5 + rng.uniform(0, 1e-3, n - 7 * 128)
+    xb[last, 2] = 0.75
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    xq = np.zeros((5, d), np.float32)
+    xq[:, 0] = 1.0
+    xq[:, 3] = rng.uniform(0, 1e-3, 5)
+    xq /= np.linalg.norm(xq, axis=1, keepdims=True)
+    for metric in ("ip", "l2"):
+        index = ExactKnnIndex(metric=metric, tile=64, mesh=mesh)
+        index.add(xb)
+        d_out, i_out = index.search(xq, k)
+        ref_d, ref_i = numpy_search(xb, xq, k, metric)
+        assert (ref_i >= 7 * 128).all()  # the construction worked
+        np.testing.assert_array_equal(i_out, ref_i)
+        np.testing.assert_allclose(d_out, ref_d, rtol=1e-5, atol=1e-5)
+
+
 def test_cpp_backend_matches_numpy():
     """Native host backend (ctypes/C++) parity with the numpy oracle."""
     from lemon_tpu.knn import cpp_backend

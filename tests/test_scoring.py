@@ -202,6 +202,11 @@ def test_maximize_metric_improves_and_respects_masks():
     )
     assert best_x[0] == 0.0 and best_x[1] == 1.0
 
+    # empty x0s skips the proxy stage on the device path too (regression:
+    # np.asarray([]) used to feed vmap a (0,)-shaped x0 matrix and crash)
+    _, val_empty, _ = maximize_metric(logs, grid=small_grid, x0s=[], use_device_grid=True)
+    assert val_empty >= base_f1 - 1e-9
+
 
 def test_strict_grid_path_matches_reference_transcription():
     """use_device_grid=False must evaluate EVERY grid point under the

@@ -34,6 +34,14 @@ def test_shard_writer_roundtrip(tmp_path):
     # reopen from manifest
     store2 = ShardedUint8Store.open(tmp_path / "store")
     np.testing.assert_array_equal(store2[[0, 500, 999]], data[[0, 500, 999]])
+    # ndarray duck-typing: negative indices resolve from the end; out of
+    # range raises IndexError (not a bogus-shard crash)
+    np.testing.assert_array_equal(store[-1], data[-1])
+    np.testing.assert_array_equal(store[[-1, 0, -1000]], data[[-1, 0, -1000]])
+    with pytest.raises(IndexError):
+        store[[0, 1000]]
+    with pytest.raises(IndexError):
+        store[[-1001]]
 
 
 def test_indexed_store_lazy_subset(tmp_path):
