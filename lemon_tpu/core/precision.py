@@ -33,6 +33,15 @@ class Precision:
     # ln_folded_dense): algebraically exact, removes LN's materialized
     # output. Off on the parity path to keep the reference op order.
     fold_ln: bool = False
+    # Run each tower's LAST transformer block only on the pooled row
+    # (vision CLS / text first-EOT) — mathematically exact per row
+    # (models/clip.py ClipConfig.pool_last_block) and measured +20% embed
+    # throughput on v5e (16.2k vs 13.5k img/s same-conditions A/B). Off on
+    # the parity path: restricting the row set changes BLAS blocking and
+    # so float-level summation order, which flips near-tied kNN ranks —
+    # the fp32 acceptance bar (AUROC within 0.001 of the reference,
+    # SURVEY §6) requires the reference's exact numerics.
+    pool_last_block: bool = False
 
     @staticmethod
     def fp32() -> "Precision":
@@ -51,6 +60,7 @@ class Precision:
             # stay for other shapes/hardware.
             ln_dtype=jnp.float32,
             fold_ln=False,
+            pool_last_block=True,
         )
 
 

@@ -67,6 +67,24 @@ class ClipConfig:
     # bias, no pre-LayerNorm.
     vision_patch_bias: bool = False
     vision_ln_pre: bool = True
+    # Only the pooled row (vision CLS / text first-EOT) survives each
+    # tower's head, so the LAST transformer block's attention core,
+    # output projection, and MLP need only that row — K/V still come from
+    # every token, making this exact (row-wise ops are independent across
+    # rows; measured +20% embed throughput on v5e). Effective only when
+    # Precision.pool_last_block is also set (the bf16 fast path): the row
+    # restriction changes BLAS blocking and therefore float-level
+    # summation order, which the fp32 AUROC-parity path must not do.
+    # Disabled automatically when full token states are requested
+    # (return_tokens) or under the Pallas flash kernel.
+    pool_last_block: bool = True
+    # Same trick for the text tower. Off by default: the EOT row index is
+    # data-dependent (unlike the vision CLS's constant position), and the
+    # per-example row/mask gathers cost more than the saved compute on
+    # v5e — measured 16.3k pooled vs 18.7k unpooled txt/s (same-conditions
+    # A/B, B=256 pack=2 bf16). The code path stays for shapes where the
+    # saved MLP dominates (long contexts).
+    pool_last_block_text: bool = False
 
     @property
     def is_resnet(self) -> bool:
@@ -254,10 +272,14 @@ class Attention(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, ln=None):
+    def __call__(self, x, mask=None, ln=None, rows=None):
         """``ln=(scale, bias)`` folds the preceding LayerNorm into the QKV
         projection (``x`` is then the RAW residual stream; see
-        ln_folded_dense)."""
+        ln_folded_dense). ``rows``: (B, S) token indices — restrict the
+        attention core + output projection to these query rows (K/V still
+        span every token; exact, see ClipConfig.pool_last_block). Not
+        supported under the Pallas kernel (callers pass rows=None there).
+        """
         b, l, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -270,6 +292,14 @@ class Attention(nn.Module):
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
+
+        if rows is not None:
+            assert self.impl != "pallas"
+            q = jnp.take_along_axis(q, rows[:, :, None, None], axis=1)
+            if mask is not None:
+                # (1, 1, L, L) additive mask -> the selected query rows,
+                # per example: (B, 1, S, L)
+                mask = jnp.take(mask[0, 0], rows, axis=0)[:, None]
 
         if self.impl == "pallas" and (mask is None or self.causal):
             from lemon_tpu.ops.attention import flash_attention
@@ -285,7 +315,7 @@ class Attention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
-        out = out.reshape(b, l, d)
+        out = out.reshape(b, q.shape[1], d)
         return nn.Dense(d, dtype=self.compute_dtype, name="out")(out)
 
 
@@ -300,35 +330,44 @@ class TransformerBlock(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, rows=None):
+        """``rows``: (B, S) — compute this block's output only for those
+        token rows (the pooled-last-block fast path; K/V and the pre-attn
+        LayerNorm still read every row)."""
         d = x.shape[-1]
         act = quick_gelu if self.quick_gelu else jax.nn.gelu
+
+        def residual_base(full):
+            if rows is None:
+                return full
+            return jnp.take_along_axis(full, rows[:, :, None], axis=1)
+
         # ln_1/ln_2 feed ONLY the following projection, so the fast path
         # folds them into the qkv/fc matmuls (ln_folded_dense) — identical
         # param tree, no materialized LN output. The parity path keeps the
         # reference op order (chexzero_clip.py:190-200).
         if self.fold_ln and self.attention_impl != "pallas":
             g1, b1 = LnParams(name="ln_1")(d)
-            x = x + Attention(
+            x = residual_base(x) + Attention(
                 self.num_heads,
                 compute_dtype=self.compute_dtype,
                 softmax_dtype=self.softmax_dtype,
                 impl=self.attention_impl,
                 causal=self.causal,
                 name="attn",
-            )(x, mask, ln=(g1, b1))
+            )(x, mask, ln=(g1, b1), rows=rows)
             g2, b2 = LnParams(name="ln_2")(d)
             kf, bf = DenseParams(4 * d, name="mlp_fc")(d)
             y = ln_folded_dense(x, kf, bf, g2, b2, compute_dtype=self.compute_dtype)
         else:
-            x = x + Attention(
+            x = residual_base(x) + Attention(
                 self.num_heads,
                 compute_dtype=self.compute_dtype,
                 softmax_dtype=self.softmax_dtype,
                 impl=self.attention_impl,
                 causal=self.causal,
                 name="attn",
-            )(FpLayerNorm(dtype=self.ln_dtype, name="ln_1")(x), mask)
+            )(FpLayerNorm(dtype=self.ln_dtype, name="ln_1")(x), mask, rows=rows)
             y = FpLayerNorm(dtype=self.ln_dtype, name="ln_2")(x)
             y = nn.Dense(4 * d, dtype=self.compute_dtype, name="mlp_fc")(y)
         y = act(y)
@@ -348,8 +387,11 @@ class Transformer(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, pooled_rows=None):
+        """``pooled_rows``: (B, S) — the final block computes only these
+        rows (ClipConfig.pool_last_block); earlier blocks are unaffected."""
         for i in range(self.layers):
+            rows = pooled_rows if i == self.layers - 1 else None
             x = TransformerBlock(
                 self.num_heads,
                 quick_gelu=self.quick_gelu,
@@ -360,7 +402,7 @@ class Transformer(nn.Module):
                 attention_impl=self.attention_impl,
                 causal=self.causal,
                 name=f"block_{i}",
-            )(x, mask)
+            )(x, mask, rows=rows)
         return x
 
 
@@ -373,6 +415,7 @@ class VisionTower(nn.Module):
     softmax_dtype: Any = jnp.float32
     ln_dtype: Any = jnp.float32
     fold_ln: bool = False
+    pool_last_block: bool = False
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False):
@@ -423,6 +466,18 @@ class VisionTower(nn.Module):
         if pack > 1:
             x = x.reshape(b // pack, pack * seq, w)
             mask = _block_diag_mask(pack, seq)
+        # Only the CLS rows survive ln_post/proj: the last block computes
+        # just those rows (exact; ClipConfig.pool_last_block, gated on the
+        # Precision fast path).
+        pooled = (
+            self.pool_last_block and cfg.pool_last_block
+            and cfg.attention_impl != "pallas" and not return_tokens
+        )
+        rows = None
+        if pooled:
+            rows = jnp.broadcast_to(
+                (jnp.arange(pack, dtype=jnp.int32) * seq)[None], (b // pack, pack)
+            )
         x = Transformer(
             cfg.vision_layers,
             cfg.v_heads,
@@ -433,7 +488,13 @@ class VisionTower(nn.Module):
             fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
             name="transformer",
-        )(x, mask)
+        )(x, mask, pooled_rows=rows)
+        if pooled:
+            x = FpLayerNorm(name="ln_post")(x.reshape(b, w))
+            proj = self.param(
+                "proj", nn.initializers.normal(w ** -0.5), (w, cfg.embed_dim), jnp.float32
+            )
+            return jnp.dot(x.astype(self.compute_dtype), proj.astype(self.compute_dtype), preferred_element_type=jnp.float32)
         if pack > 1:
             x = x.reshape(b, seq, w)
         if return_tokens:
@@ -454,6 +515,7 @@ class TextTower(nn.Module):
     softmax_dtype: Any = jnp.float32
     ln_dtype: Any = jnp.float32
     fold_ln: bool = False
+    pool_last_block: bool = False
 
     @nn.compact
     def __call__(self, tokens):
@@ -480,6 +542,19 @@ class TextTower(nn.Module):
         else:
             mask = _block_diag_mask(1, l, causal=True)
 
+        # Pool at the first EOT: ids peak at the EOT token, and argmax
+        # returns the first occurrence, so this works for both zero- and
+        # EOT-padded batches. With pool_last_block the final block computes
+        # only these rows (exact), so the full-sequence ln_final disappears.
+        eot_pos = jnp.argmax(tokens, axis=-1).astype(jnp.int32)
+        do_pool = self.pool_last_block and cfg.pool_last_block_text and cfg.attention_impl != "pallas"
+        rows = None
+        if do_pool:
+            if pack > 1:
+                rows = eot_pos.reshape(b // pack, pack) + (jnp.arange(pack, dtype=jnp.int32) * l)[None]
+            else:
+                rows = eot_pos[:, None]
+
         x = Transformer(
             cfg.text_layers,
             cfg.text_heads,
@@ -491,16 +566,14 @@ class TextTower(nn.Module):
             attention_impl=cfg.attention_impl,
             causal=True,
             name="transformer",
-        )(x, mask)
-        if pack > 1:
-            x = x.reshape(b, l, w)
-        x = FpLayerNorm(dtype=self.ln_dtype, name="ln_final")(x)
-
-        # Pool at the first EOT: ids peak at the EOT token, and argmax
-        # returns the first occurrence, so this works for both zero- and
-        # EOT-padded batches.
-        eot_pos = jnp.argmax(tokens, axis=-1)
-        pooled = x[jnp.arange(b), eot_pos]
+        )(x, mask, pooled_rows=rows)
+        if do_pool:
+            pooled = FpLayerNorm(dtype=self.ln_dtype, name="ln_final")(x.reshape(b, w))
+        else:
+            if pack > 1:
+                x = x.reshape(b, l, w)
+            x = FpLayerNorm(dtype=self.ln_dtype, name="ln_final")(x)
+            pooled = x[jnp.arange(b), eot_pos]
         proj = self.param(
             "text_projection", nn.initializers.normal(w ** -0.5), (w, cfg.embed_dim), jnp.float32
         )
@@ -525,6 +598,7 @@ class ClipModel(nn.Module):
                 softmax_dtype=self.precision.softmax_dtype,
                 ln_dtype=self.precision.ln_dtype,
                 fold_ln=self.precision.fold_ln,
+                pool_last_block=self.precision.pool_last_block,
             )
         self.text = TextTower(
             self.cfg,
@@ -532,6 +606,7 @@ class ClipModel(nn.Module):
             softmax_dtype=self.precision.softmax_dtype,
             ln_dtype=self.precision.ln_dtype,
             fold_ln=self.precision.fold_ln,
+            pool_last_block=self.precision.pool_last_block,
         )
         self.logit_scale = self.param(
             "logit_scale",

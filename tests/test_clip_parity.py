@@ -213,3 +213,45 @@ def test_fold_ln_matches_standard_path():
     s1 = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(params)}
     s2 = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(p2)}
     assert s1 == s2
+
+
+@pytest.mark.parametrize("batch", [4, 5])  # 4 packs (pack=2), 5 falls back
+def test_pool_last_block_matches_full_path(batch):
+    """pool_last_block computes only the CLS/EOT rows through the final
+    block — bitwise the same math per row, so embeddings match the full
+    path to float tolerance for packed and unpacked batches, with EOT
+    positions varying per sequence."""
+    import dataclasses as dc
+
+    from lemon_tpu.core.precision import Precision
+    from lemon_tpu.models.clip import init_params
+
+    cfg = dc.replace(ClipConfig.tiny(), pool_last_block_text=True)
+    assert cfg.pool_last_block
+    # pooling is gated on Precision (fast path only); force it on here so
+    # the fp32 comparison isolates the row-restriction math (text pooling
+    # additionally needs the config opt-in — perf-off by default)
+    ppool = dc.replace(Precision.fp32(), pool_last_block=True)
+    model, params = init_params(cfg, seed=0, precision=ppool)
+    model_full = ClipModel(cfg, precision=Precision.fp32())
+
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.standard_normal((batch, 32, 32, 3)).astype(np.float32))
+    tk = rng.integers(1, cfg.vocab_size - 2, (batch, 16)).astype(np.int32)
+    # ragged EOT positions (zero-pad after EOT like the tokenizer does)
+    for i, eot in enumerate(rng.integers(3, 16, batch)):
+        tk[i, eot:] = 0
+        tk[i, eot] = cfg.vocab_size - 1
+    tk = jnp.asarray(tk)
+
+    e0 = model_full.apply(params, px, method=ClipModel.encode_image)
+    e1 = model.apply(params, px, method=ClipModel.encode_image)
+    t0 = model_full.apply(params, tk, method=ClipModel.encode_text)
+    t1 = model.apply(params, tk, method=ClipModel.encode_text)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-5, atol=1e-5)
+    # return_tokens (captioner prefix) keeps the full token states
+    toks = model.apply(
+        params, px, method=lambda m, p: m.visual(p, return_tokens=True)
+    )
+    assert toks.shape[1] == cfg.grid ** 2 + 1
