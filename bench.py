@@ -53,7 +53,7 @@ def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: i
             # roll by the step index: distinct inputs each step, all steps
             # feed the scalar output -> nothing can be elided
             shifted = jnp.roll(imgs_u8, step, axis=0)
-            pixels = preprocess_device(shifted, size=224, pil_rounding=False)
+            pixels = preprocess_device(shifted, size=224, pil_rounding=False, precision="default")
             emb = model.apply(params, pixels, method=ClipModel.encode_image)
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
             return carry + jnp.sum(emb.astype(jnp.float32)), ()

@@ -40,7 +40,10 @@ def build_parser():
     p.add_argument("--cc3m_filtering", default=None, help="prior LEMoN run dir")
     p.add_argument("--cc3m_filtering_n", type=int, default=-1)
     p.add_argument("--platform", default=None)
-    p.add_argument("--mesh", default=None, help="DATAxMODEL, e.g. 8x1")
+    p.add_argument("--mesh", default=None,
+                   help="DATAxMODEL, e.g. 8x1 (pure DP) or 4x2 (DP + "
+                        "Megatron-style tensor parallelism: transformer "
+                        "projections shard over the model axis)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in output_dir/ckpt")
     p.add_argument("--synthetic_n", type=int, default=600)

@@ -55,6 +55,20 @@ class ClipEncoder:
         # Identity of the loaded weights (checkpoint path+mtime+size, or
         # "random:<seed>") — part of the embedding-cache key.
         self.weights_fingerprint = weights_fingerprint
+        # Resize precision follows the model's compute precision: the fp32
+        # parity path keeps the PIL-exact resize (uint8 rounding emulation,
+        # fp32-HIGHEST matmuls); the bf16 fast path drops the rounding
+        # emulation and runs the resize matmuls in bf16 (+4.4% embed
+        # throughput; pixel error ~1e-3 of range, below the tower's own
+        # bf16 activation rounding — see ops/image.py:preprocess_device).
+        model_prec = getattr(model, "precision", None)
+        fast_resize = (
+            model_prec is not None
+            and getattr(model_prec, "compute_dtype", jnp.float32) == jnp.bfloat16
+        )
+        self._pp_kwargs = (
+            {"pil_rounding": False, "precision": "default"} if fast_resize else {}
+        )
         self._tokenize = tokenize_fn or (
             lambda texts: tokenize_batch(list(texts), self.cfg.context_length, self.tokenizer)
         )
@@ -75,7 +89,7 @@ class ClipEncoder:
             """Fused preprocess + both towers: ONE dispatch per batch (the
             tunneled TPU pays ~0.1-1s latency per round trip, so per-batch
             program count dominates embedding wall-clock)."""
-            pixels = preprocess_device(images_u8, size=self.cfg.image_resolution)
+            pixels = preprocess_device(images_u8, size=self.cfg.image_resolution, **self._pp_kwargs)
             return encode_image_fn(params, pixels), encode_text_fn(params, tokens)
 
         if mesh is not None:
@@ -119,7 +133,7 @@ class ClipEncoder:
             n_valid = len(batch)
             if n_valid < bs and n > bs:
                 batch = np.concatenate([batch, np.repeat(batch[-1:], bs - n_valid, 0)])
-            pixels = preprocess_device(batch, size=self.cfg.image_resolution)
+            pixels = preprocess_device(batch, size=self.cfg.image_resolution, **self._pp_kwargs)
             emb = self._encode_image(self.params, pixels)
             out.append(np.asarray(emb)[:n_valid])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)

@@ -87,19 +87,27 @@ def _round_u8(x):
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
 
 
+_RESIZE_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 @functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "crop", "mean_std", "pil_rounding")
+    jax.jit, static_argnames=("out_h", "out_w", "crop", "mean_std", "pil_rounding", "precision")
 )
-def _resize_crop_normalize(img_u8, a_h, a_w, *, out_h, out_w, crop, mean_std, pil_rounding):
+def _resize_crop_normalize(img_u8, a_h, a_w, *, out_h, out_w, crop, mean_std, pil_rounding, precision="highest"):
     """img_u8: (B, H, W, 3) uint8 -> (B, crop, crop, 3) float32 normalized."""
+    mp = _RESIZE_PRECISION[precision]
     x = img_u8.astype(jnp.float32)
     # Separable resize as two MXU matmuls per channel. PIL resamples
     # horizontally first, storing a uint8 intermediate — emulating that
     # rounding keeps us within one quantization step of the reference.
-    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=mp)
     if pil_rounding:
         x = _round_u8(x)
-    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=mp)
     if pil_rounding:
         x = _round_u8(x)
     top, left = center_crop_bounds(out_h, out_w, crop)
@@ -117,12 +125,19 @@ def preprocess_device(
     mean=tuple(CLIP_MEAN),
     std=tuple(CLIP_STD),
     pil_rounding: bool = True,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """CLIP preprocessing on device for a batch of same-shape uint8 images
     (B, H, W, 3). Returns (B, size, size, 3) float32 NHWC.
 
     ``pil_rounding=False`` skips the uint8 intermediate emulation for a
     slightly more accurate (and marginally faster) pure-float path.
+    ``precision``: matmul precision of the two resize passes. 'highest'
+    (fp32, 6 MXU passes) is the PIL-parity default; 'default' (bf16) is
+    the bf16 fast-path choice — measured +4.4% end-to-end embed
+    throughput on v5e, pixel error ~1e-3 of range (below the tower's own
+    bf16 activation rounding). 'high' (bf16x3) still flips ~0.1% of the
+    uint8 roundings vs HIGHEST, so exact PIL parity requires 'highest'.
     """
     b, h, w, _ = images_u8.shape
     out_h, out_w = resize_shorter_side(h, w, size)
@@ -137,6 +152,7 @@ def preprocess_device(
         crop=size,
         mean_std=(tuple(mean), tuple(std)),
         pil_rounding=pil_rounding,
+        precision=precision,
     )
 
 

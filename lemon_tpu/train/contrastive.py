@@ -27,7 +27,7 @@ import numpy as np
 import optax
 from flax.training import train_state
 
-from lemon_tpu.core.mesh import DATA_AXIS
+from lemon_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params
 
 
@@ -88,6 +88,54 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def _tp_spec(path, leaf) -> "jax.sharding.PartitionSpec":
+    """Megatron-style tensor-parallel PartitionSpec for one parameter (or
+    optimizer-moment) leaf, keyed on its tree-path suffix.
+
+    Column-parallel first projections (fused qkv, mlp_fc) shard the output
+    feature dim + bias over MODEL_AXIS; row-parallel second projections
+    (attn out, mlp_proj) shard the input dim — GSPMD then inserts the
+    all-reduce after each row-parallel matmul, the standard Megatron
+    decomposition. Embeddings/LN/head projections replicate (tiny).
+    Leaves whose sharded dim is not divisible by the axis size fall back
+    to replication (correct, just not distributed).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    s = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 2:
+        if s.endswith("attn/qkv/kernel") or s.endswith("mlp_fc/kernel"):
+            return P(None, MODEL_AXIS)
+        if s.endswith("attn/out/kernel") or s.endswith("mlp_proj/kernel"):
+            return P(MODEL_AXIS, None)
+    if ndim == 1 and (s.endswith("attn/qkv/bias") or s.endswith("mlp_fc/bias")):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def train_state_shardings(state, mesh):
+    """NamedSharding tree for a TrainState under (data, model) parallelism:
+    tensor-parallel specs when the mesh has a model axis > 1, pure
+    replication otherwise. Applies uniformly to params AND the
+    params-shaped optimizer moments (matched by path suffix)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+
+    def leaf_sharding(path, x):
+        spec = _tp_spec(path, x) if tp else P()
+        # divisibility fallback: replicate anything the axis can't split
+        for dim, name in zip(getattr(x, "shape", ()), spec):
+            if name == MODEL_AXIS and dim % n_model != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
+
+
 def create_train_state(model_cfg: ClipConfig, train_cfg: TrainConfig, mesh=None) -> Tuple[ClipModel, TrainState]:
     from lemon_tpu.core.precision import Precision
 
@@ -96,16 +144,19 @@ def create_train_state(model_cfg: ClipConfig, train_cfg: TrainConfig, mesh=None)
     tx = make_optimizer(train_cfg)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        # Replicate model + optimizer state; batch shards over DATA_AXIS.
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        # dp-only meshes replicate the state; a model axis > 1 places the
+        # transformer projections tensor-parallel (train_state_shardings).
+        state = jax.device_put(state, train_state_shardings(state, mesh))
     return model, state
 
 
-def make_train_step(model: ClipModel, mesh=None):
+def make_train_step(model: ClipModel, mesh=None, state=None):
     """One jitted training step. With a mesh, inputs shard over the data
-    axis and the InfoNCE logits matmul triggers GSPMD all-gathers."""
+    axis and the InfoNCE logits matmul triggers GSPMD all-gathers; if the
+    mesh has a model axis > 1, pass ``state`` so the step pins its
+    tensor-parallel shardings (train_state_shardings) on input and output
+    — GSPMD then runs the projections Megatron-style with automatic
+    all-reduces instead of re-replicating the params."""
 
     def step(state: TrainState, pixels: jnp.ndarray, tokens: jnp.ndarray):
         def loss_fn(params):
@@ -123,10 +174,14 @@ def make_train_step(model: ClipModel, mesh=None):
 
     repl = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
+    if state is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        state_shardings = train_state_shardings(state, mesh)
+    else:
+        state_shardings = repl
     return jax.jit(
         step,
-        in_shardings=(repl, batch_sharded, batch_sharded),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shardings, batch_sharded, batch_sharded),
+        out_shardings=(state_shardings, repl),
         donate_argnums=(0,),
     )
 
@@ -230,7 +285,7 @@ def train_loop(
     checkpoint dir, restores the latest full TrainState (sharding-aware)
     and continues from the saved step; already-consumed batches are
     skipped so the data order matches an uninterrupted run."""
-    step_fn = make_train_step(model, mesh=mesh)
+    step_fn = make_train_step(model, mesh=mesh, state=state)
     writer = CheckpointWriter(ckpt_dir) if ckpt_dir is not None else None
     start_step = 0
     if resume and writer is not None and writer.latest_step() is not None:

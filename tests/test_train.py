@@ -113,6 +113,38 @@ def test_mesh_step_matches_single_device():
     assert worst < 1e-4, worst
 
 
+def test_tp_mesh_step_matches_single_device():
+    """dp×tp (4, 2) mesh: the transformer projections shard
+    Megatron-style over the model axis (train_state_shardings) and GSPMD
+    inserts the all-reduces — one step must reproduce the single-device
+    loss and parameter update."""
+    from lemon_tpu.core.mesh import MODEL_AXIS
+    from lemon_tpu.train.contrastive import train_state_shardings
+
+    cfg = ClipConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10, batch_size=8)
+    pixels, tokens = make_batch(cfg, 8, seed=5)
+
+    model, state_1 = create_train_state(cfg, tcfg)
+    step_1 = make_train_step(model)
+    state_1, loss_1 = step_1(state_1, jnp.asarray(pixels), jnp.asarray(tokens))
+
+    mesh = get_mesh(data=4, model=2)
+    model, state_tp = create_train_state(cfg, tcfg, mesh=mesh)
+    # the qkv/mlp kernels actually live sharded over the model axis
+    qkv = state_tp.params["params"]["visual"]["transformer"]["block_0"]["attn"]["qkv"]["kernel"]
+    assert MODEL_AXIS in tuple(qkv.sharding.spec), qkv.sharding
+    step_tp = make_train_step(model, mesh=mesh, state=state_tp)
+    p_sh, t_sh = shard_train_batch(mesh, pixels, tokens)
+    state_tp, loss_tp = step_tp(state_tp, p_sh, t_sh)
+
+    assert float(loss_tp) == pytest.approx(float(loss_1), abs=1e-4)
+    a = jax.tree_util.tree_leaves(state_1.params)
+    b = jax.tree_util.tree_leaves(state_tp.params)
+    worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
+    assert worst < 1e-4, worst
+
+
 def test_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     cfg = ClipConfig.tiny()
