@@ -58,11 +58,18 @@ class ClipConfig:
     attention_impl: str = "xla"  # 'xla' | 'pallas'
     # Pack P sequences per attention row with a block-diagonal mask.
     # LN/MLP are per-token, so the whole transformer runs packed with exact
-    # semantics; at CLIP's short sequences (50/77 tokens) the per-head
-    # matmuls underfill the 128x128 MXU and packing 2 images (L=100) ran the
+    # semantics; at the vision tower's 50 tokens the per-head matmuls
+    # underfill the 128x128 MXU and packing 2 images (L=100) ran the
     # attention inner ~4x faster on v5e (BENCH_NOTES round 2). Batches not
     # divisible by P fall back to unpacked.
     attention_pack: int = 2
+    # Text packing is separate and OFF by default: at L=77 the packed row
+    # (154) fills the 128-lane MXU tile no better than unpacked (60%
+    # either way) while doubling the logits/probs FLOPs — measured
+    # pack1/B=128 20.7k vs pack2/B=256 15.4k txt/s on v5e. (The round-2
+    # ctx-256 comparison that favored 'packing' was packed-XLA vs
+    # unpacked-Pallas, not packed-vs-unpacked XLA.)
+    text_attention_pack: int = 1
     # timm-style ViT variations (BiomedCLIP's visual trunk): patch-embed
     # bias, no pre-LayerNorm.
     vision_patch_bias: bool = False
@@ -531,7 +538,7 @@ class TextTower(nn.Module):
         )
         x = x + pos[:l].astype(x.dtype)
 
-        pack = cfg.attention_pack if b % max(cfg.attention_pack, 1) == 0 else 1
+        pack = cfg.text_attention_pack if b % max(cfg.text_attention_pack, 1) == 0 else 1
         # Pallas flash attention builds its own causal mask and can't see a
         # packed block-diagonal one.
         if cfg.attention_impl == "pallas":
