@@ -72,7 +72,12 @@ def paper_table(df, selection_metric: str = "know_val_labels_val_F1_optimal"):
     best = (
         avg.groupby(config_cols, dropna=False)
         .agg(performance=("performance", "max"))
-        .merge(avg)
+        # reset_index so the merge joins on config_cols + performance —
+        # joining on 'performance' alone loses config identity and, on
+        # cross-config performance ties, selects another config's
+        # (knn_k, dist_type) as this config's winner
+        .reset_index()
+        .merge(avg, on=config_cols + ["performance"])
         .drop_duplicates(subset=config_cols)
     )
     winners = best.drop(columns=["performance"]).merge(df)
@@ -107,7 +112,13 @@ def hparam_drop_table(root: Path):
                 df_run = pickle.load(f)["df"]
         except FileNotFoundError:
             continue
-        logs = NeighborLogs.from_dataframe(df_run)
+        try:
+            logs = NeighborLogs.from_dataframe(df_run)
+        except KeyError:
+            # baseline/judge runs share the res.pkl {'df'} + done contract
+            # but carry score frames without neighbor components — skip
+            # them instead of aborting the whole crawl
+            continue
         scores = calc_scores(logs, FIXED_FILTER_HPARAMS)
         val_mask = logs.sset == "val"
         prevalence = logs.is_mislabel[val_mask].mean()

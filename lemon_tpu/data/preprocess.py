@@ -39,26 +39,39 @@ _SECTION_ALIASES = {
 }
 
 
-def section_text(report: str) -> Dict[str, str]:
-    """Split a radiology report into {section_name: text}. The text before
-    the first header is 'preamble'; a report with no headers maps entirely
-    to 'full report'. When a section name repeats, the LAST occurrence wins
-    (matching the notebook's list_rindex selection)."""
-    sections: Dict[str, str] = {}
+def section_text_list(report: str) -> List[Tuple[str, str]]:
+    """Ordered (name, raw body) pairs — MIT-LCP's section_parser keeps
+    sections as parallel LISTS, so physical order survives repeated header
+    names (the last-paragraph fallback reads ``sections[-1]``, the
+    physically last section, not the last value of a name-keyed dict).
+    Bodies are unstripped like the reference's raw spans; empty
+    findings/impression sections are dropped (section_parser.py:73-79)."""
     matches = list(_SECTION_HEADER.finditer(report))
     if not matches:
-        return {"full report": report}
-    sections["preamble"] = report[: matches[0].start(1)]
+        return [("full report", report)]
+    out: List[Tuple[str, str]] = [("preamble", report[: matches[0].start(1)])]
     for i, m in enumerate(matches):
         name = m.group(1).strip().lower()
         name = _SECTION_ALIASES.get(name, name)
         start = m.end()
         end = matches[i + 1].start() if i + 1 < len(matches) else len(report)
-        body = report[start:end].strip()
-        if name in ("impression", "findings") and not body:
+        body = report[start:end]
+        if name in ("impression", "findings") and not body.strip():
             continue  # drop empty findings/impression (section_parser behavior)
-        sections[name] = body
-    return sections
+        out.append((name, body))
+    return out
+
+
+def section_text(report: str) -> Dict[str, str]:
+    """Split a radiology report into {section_name: text}. The text before
+    the first header is 'preamble'; a report with no headers maps entirely
+    to 'full report'. When a section name repeats, the LAST occurrence wins
+    (matching the notebook's list_rindex selection)."""
+    pairs = section_text_list(report)
+    return {
+        name: (body if name in ("preamble", "full report") else body.strip())
+        for name, body in pairs
+    }
 
 
 def extract_report_caption(report: str) -> str:
@@ -303,8 +316,15 @@ def build_mmimdb(root_dir: Path, out_root: Optional[Path] = None):
     df.loc[df.id.isin(split["dev"]), "split"] = "val"
     df.loc[df.id.isin(split["test"]), "split"] = "test"
 
+    # The notebook assumes every record carries plot/genres and crashes
+    # otherwise (float NaN through '\n'.join / label flatten); default the
+    # missing keys instead so a partial MM-IMDB crawl still builds.
+    for col, default in (("plot outline", ""), ("plot", ()), ("genres", ())):
+        if col not in df:
+            df[col] = [default] * len(df)
     df["plot outline"] = df["plot outline"].fillna("")
-    df["plot"] = df["plot"].apply(lambda x: "\n".join(x))
+    df["plot"] = df["plot"].apply(lambda x: "\n".join(x) if isinstance(x, (list, tuple)) else "")
+    df["genres"] = df["genres"].apply(lambda x: list(x) if isinstance(x, (list, tuple)) else [])
     df["all_text"] = df.apply(lambda x: x["plot outline"] + "\n" + x["plot"], axis=1)
 
     labels = np.unique([j for i in df["genres"].values for j in i])
@@ -398,9 +418,12 @@ def extract_mimic_caption(study_id: str, report: str) -> str:
     out = extract_report_caption(report)
     if not sections.get("findings") and not sections.get("impression"):
         # MIT-LCP's 'last_paragraph' (section_parser.py:80-87): ONLY when
-        # neither findings nor impression parsed — the tail of the final
-        # section after the first '\n \n' separator; absent otherwise.
-        last = list(sections.values())[-1] if sections else ""
+        # neither findings nor impression parsed — the tail of the
+        # PHYSICALLY last section (raw span, list order — a repeated
+        # header name must not alias it to an earlier section) after the
+        # first '\n \n' separator; absent otherwise.
+        pairs = section_text_list(report)
+        last = pairs[-1][1] if pairs else ""
         if "\n \n" in last:
             lp = "\n \n".join(last.split("\n \n")[1:]).strip()
             if lp:

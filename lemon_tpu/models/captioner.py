@@ -184,6 +184,11 @@ class CaptioningModel(nn.Module):
         """Fixed-length generation under lax.scan. temperature 0 = greedy."""
         c = self.cfg
         max_len = max_len or c.max_text_len
+        # the decoder's positional table covers n_image_tokens + max_text_len
+        # rows; a longer request would under-broadcast deep inside the scan
+        assert max_len <= c.max_text_len, (
+            f"max_len {max_len} exceeds the decoder's max_text_len {c.max_text_len}"
+        )
         prefix = self.encode_image_prefix(pixels)
         b = prefix.shape[0]
         tokens = jnp.full((b, max_len), 0, jnp.int32).at[:, 0].set(bos_id)
@@ -235,4 +240,25 @@ def lora_trainable_mask(params) -> Any:
     from jax.tree_util import tree_unflatten, tree_structure
 
     leaves = [trainable(path) for path, _ in flat]
+    return tree_unflatten(tree_structure(params), leaves)
+
+
+def frozen_vision_mask(params) -> Any:
+    """Pytree of bools: True for every param OUTSIDE the vision tower.
+
+    ``freeze_vision`` stop-gradients the tower, but a zero gradient is not
+    a zero UPDATE under AdamW — its decoupled weight decay still shrinks
+    the params every step. The optimizer must be masked so the frozen
+    encoder's weights are bit-stable (BLIP-2's frozen-image-encoder
+    contract; downstream_captioning.py:216-224 freezes via requires_grad,
+    which in torch removes the params from the optimizer entirely)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def outside_visual(path) -> bool:
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        return "visual" not in names
+
+    from jax.tree_util import tree_structure, tree_unflatten
+
+    leaves = [outside_visual(path) for path, _ in flat]
     return tree_unflatten(tree_structure(params), leaves)

@@ -34,12 +34,20 @@ class ImageClassifier(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.compute_dtype, name="head")(feats)
 
 
-def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """CE for multiclass; BCE-with-logits when the head has one output
-    (downstream_models.py:96-104)."""
+    (downstream_models.py:96-104). ``mask``: per-row 0/1 validity — the
+    static-shape batch iterator pads short final batches, and padded rows
+    must not contribute to the mean (the reference's DataLoader simply
+    yields a short batch, seeing each sample exactly once per epoch)."""
     if logits.shape[-1] == 1:
-        return optax.sigmoid_binary_cross_entropy(logits[:, 0], labels.astype(logits.dtype)).mean()
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        per = optax.sigmoid_binary_cross_entropy(logits[:, 0], labels.astype(logits.dtype))
+    else:
+        per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if mask is None:
+        return per.mean()
+    mask = mask.astype(per.dtype)
+    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def init_classifier(cfg: ClipConfig, num_classes: int, seed: int = 0, freeze_backbone: bool = False,

@@ -58,6 +58,7 @@ def _tokenize_captions(texts, cfg: CaptionerConfig):
 
 
 def filter_caption_split(split: CaptioningSplit, scores: np.ndarray, percentile: float) -> CaptioningSplit:
+    assert len(scores) == len(split), (len(scores), len(split))
     thres = np.percentile(scores, percentile)
     keep = np.flatnonzero(scores <= thres)
     frac = len(keep) / len(split)
@@ -107,28 +108,33 @@ def train_captioner(
         tx = optax.multi_transform(
             {True: tx, False: optax.set_to_zero()}, mask
         )
+    elif getattr(mc, "freeze_vision", False):
+        # stop_gradient zeroes the grads but AdamW's decoupled weight
+        # decay would still shrink the frozen tower every step — mask the
+        # whole update so the frozen encoder stays bit-stable
+        # (models/captioner.py:frozen_vision_mask).
+        from lemon_tpu.models.captioner import frozen_vision_mask
+
+        tx = optax.multi_transform(
+            {True: tx, False: optax.set_to_zero()}, frozen_vision_mask(params)
+        )
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, pixels, tokens):
+    def train_step(params, opt_state, pixels, tokens, mask):
         def loss_fn(p):
-            return jnp.mean(model.apply(p, pixels, tokens, method=CaptioningModel.per_sample_loss))
+            per = model.apply(p, pixels, tokens, method=CaptioningModel.per_sample_loss)
+            m = mask.astype(per.dtype)
+            return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def eval_loss(params, pixels, tokens):
-        return jnp.mean(model.apply(params, pixels, tokens, method=CaptioningModel.per_sample_loss))
-
     def val_loss(params):
-        vals = []
-        for idx, n_valid in iter_batches(splits["val"], cfg.batch_size):
-            pixels = preprocess_device(load_images(splits["val"], idx), size=mc.vision.image_resolution)
-            tokens = jnp.asarray(_tokenize_captions(splits["val"].sentence[idx], mc))
-            vals.append(float(eval_loss(params, pixels, tokens)))
-        return float(np.mean(vals))
+        # per-sample losses with the padded rows excluded (the batched
+        # mean would double-count iter_batches' repeated pad rows)
+        return float(per_sample_caption_losses(model, params, splits["val"], cfg).mean())
 
     rng = np.random.default_rng(cfg.seed)
     es = EarlyStopping(patience=cfg.es_patience, mode="min")
@@ -137,11 +143,20 @@ def train_captioner(
     for epoch in range(cfg.epochs):
         order = rng.permutation(len(train))
         losses = []
-        for start in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+        # static-shape batches: the tail wraps (also when the filtered
+        # split is smaller than one batch — previously that trained for
+        # ZERO steps and silently returned the random init) and the
+        # padded rows are masked out of the loss, so each sample counts
+        # exactly once per epoch like the reference's DataLoader.
+        for start in range(0, len(order), cfg.batch_size):
             idx = order[start : start + cfg.batch_size]
+            n_valid = len(idx)
+            if n_valid < cfg.batch_size:
+                idx = np.concatenate([idx, np.resize(order, cfg.batch_size - n_valid)])
             pixels = preprocess_device(load_images(train, idx), size=mc.vision.image_resolution)
             tokens = jnp.asarray(_tokenize_captions(train.sentence[idx], mc))
-            params, opt_state, loss = train_step(params, opt_state, pixels, tokens)
+            mask = jnp.arange(cfg.batch_size) < n_valid
+            params, opt_state, loss = train_step(params, opt_state, pixels, tokens, mask)
             losses.append(float(loss))
         vl = val_loss(params)
         print(f"epoch {epoch}: train_loss {np.mean(losses):.4f} val_loss {vl:.4f}")
@@ -170,7 +185,12 @@ def train_captioner(
             ids = [int(t) for t in row[1:] if t not in (0, bos, eot)]
             generated.append(tok.decode(ids).strip() if mc.vocab_size >= 49408 else " ".join(map(str, ids)))
 
-    results = {"val_loss_best": best_val, "runtime_s": runtime, "n_train": len(train)}
+    results = {
+        "val_loss_best": best_val,
+        "runtime_s": runtime,
+        "n_train": len(train),
+        "train_loss_final": float(np.mean(losses)) if losses else None,
+    }
     # Loss-based detection mode (downstream_captioning.py:51-79): the
     # trained captioner's per-sample LM loss is itself a mislabel score.
     det_scores = per_sample_caption_losses(model, best_params, test, cfg)
@@ -190,4 +210,5 @@ def train_captioner(
         (out_dir / "results.json").write_text(json.dumps(results, default=json_default))
         (out_dir / "done").write_text("done")
     results["generated"] = generated
+    results["params"] = best_params  # in-memory only (results.json above excludes it)
     return results

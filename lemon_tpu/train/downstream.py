@@ -65,9 +65,11 @@ def load_detector_scores(path: Path, split_name: str = "train") -> np.ndarray:
         return dists[np.asarray(split_tags).ravel() == split_name]
     import pandas as pd
 
+    # run_lemon CSVs carry an unnamed index column; pandas parses it as
+    # 'Unnamed: 0' and the named columns come through either way.
     df = pd.read_csv(path)
-    if "sset" not in df.columns:  # run_lemon CSVs carry an index column
-        df = pd.read_csv(path, index_col=0)
+    if "sset" not in df.columns or "pred_score" not in df.columns:
+        raise ValueError(f"{path} is not a detector scores CSV (needs sset/pred_score columns)")
     return df.loc[df.sset == split_name, "pred_score"].to_numpy()
 
 
@@ -83,12 +85,17 @@ def _predict_split(predict, params, split, batch_size, image_size):
 
 
 def _epoch_batches(split, batch_size, image_size, rng):
+    """Static-shape epoch iterator: the last batch pads by wrapping (also
+    when the whole split is smaller than one batch) and reports
+    ``n_valid`` so the padded rows can be masked out of the loss — each
+    sample then contributes exactly once per epoch, like the reference's
+    DataLoader with its ragged final batch."""
     order = rng.permutation(len(split))
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
         n_valid = len(idx)
         if n_valid < batch_size:
-            idx = np.concatenate([idx, order[: batch_size - n_valid]])
+            idx = np.concatenate([idx, np.resize(order, batch_size - n_valid)])
         images = load_images(split, idx)
         pixels = preprocess_device(images, size=image_size)
         yield pixels, jnp.asarray(split.y_noisy[idx]), n_valid
@@ -113,9 +120,9 @@ def train_downstream(
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, pixels, labels):
+    def train_step(params, opt_state, pixels, labels, mask):
         def loss_fn(p):
-            return classification_loss(model.apply(p, pixels), labels)
+            return classification_loss(model.apply(p, pixels), labels, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -135,8 +142,9 @@ def train_downstream(
     t0 = time.time()
     for epoch in range(cfg.epochs):
         losses = []
-        for pixels, labels, _ in _epoch_batches(train, cfg.batch_size, cfg.model_cfg.image_resolution, rng):
-            params, opt_state, loss = train_step(params, opt_state, pixels, labels)
+        for pixels, labels, n_valid in _epoch_batches(train, cfg.batch_size, cfg.model_cfg.image_resolution, rng):
+            mask = jnp.arange(len(labels)) < n_valid
+            params, opt_state, loss = train_step(params, opt_state, pixels, labels, mask)
             losses.append(float(loss))
             assert np.isfinite(losses[-1])
         _, _, val_acc = eval_split(params, splits["val"])

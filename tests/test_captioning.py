@@ -128,6 +128,40 @@ def test_train_captioner_end_to_end(tmp_path):
     assert len(res["generated"]) == len(test)
 
 
+def test_train_captioner_split_smaller_than_batch(tmp_path):
+    """Regression: len(train) < batch_size previously trained for ZERO
+    steps (empty range) and silently wrote random-init captions."""
+    train, val, test = synthetic_captioning(40, data_seed=1, noise_level=0.3)
+    train = train.subset(np.arange(10))  # 10 < batch_size=16
+    cfg = CaptionTrainConfig(epochs=2, batch_size=16, es_patience=5)
+    res = train_captioner(cfg, {"train": train, "val": val, "test": test}, out_dir=tmp_path)
+    assert np.isfinite(res["val_loss_best"])
+    assert res["train_loss_final"] is not None and np.isfinite(res["train_loss_final"])
+
+
+def test_frozen_vision_params_bitstable_under_training():
+    """freeze_vision must survive AdamW's decoupled weight decay: the
+    optimizer update (not just the gradient) is masked to zero for the
+    vision tower (BLIP-2 frozen-encoder contract)."""
+    from lemon_tpu.models.qformer import QFormerConfig
+
+    train, val, test = synthetic_captioning(40, data_seed=0, noise_level=0.3)
+    mcfg = QFormerConfig.tiny()
+    assert mcfg.freeze_vision
+    cfg = CaptionTrainConfig(epochs=1, batch_size=16, model_cfg=mcfg,
+                             learning_rate=1e-2, weight_decay=0.5)
+    model, params0 = init_captioner(mcfg, cfg.seed)
+    res = train_captioner(cfg, {"train": train, "val": val, "test": test})
+    vis0 = jax.tree_util.tree_leaves(params0["params"]["visual"])
+    vis1 = jax.tree_util.tree_leaves(res["params"]["params"]["visual"])
+    for a, b in zip(vis0, vis1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the trainable parts did move
+    lm0 = jax.tree_util.tree_leaves(params0["params"]["lm_head"])
+    lm1 = jax.tree_util.tree_leaves(res["params"]["params"]["lm_head"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(lm0, lm1))
+
+
 def test_loss_based_detection_scores():
     train, _, _ = synthetic_captioning(60, data_seed=0, noise_level=0.4)
     cfg = CaptionTrainConfig(model_cfg=CaptionerConfig.tiny())

@@ -220,3 +220,11 @@ def test_build_mimiccxr(tmp_path):
     assert r2.sentence.strip() == "IMPRESSION:"
     # ints match the certainty x label vocabulary positions
     assert extract_mimic_caption("s51966317", "INDICATION: chest pain\n\nFINDINGS: x\n").startswith("IMPRESSION: \nchest pain")
+    # repeated header name: the fallback must read the PHYSICALLY last
+    # section (MIT-LCP keeps sections as lists; section_parser.py:80-87),
+    # not the dict entry whose first occurrence came earlier
+    cap = emc(
+        "s00000001",
+        "EXAMINATION: a\nTECHNIQUE: b\nEXAMINATION: c\n \nStable overall.",
+    )
+    assert "IMPRESSION:\nStable overall." in cap
