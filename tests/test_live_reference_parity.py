@@ -66,7 +66,7 @@ def _run_lemon_tpu(out_dir, golden_key, extra_env, monkeypatch):
     cfg = GOLDENS[golden_key]["config"]
     from lemon_tpu.cli.run_lemon import main as run_lemon_main
 
-    run_lemon_main([
+    argv = [
         "--output_dir", str(out_dir),
         "--strict_hparam_parity",
         "--dataset", cfg["dataset"],
@@ -75,7 +75,10 @@ def _run_lemon_tpu(out_dir, golden_key, extra_env, monkeypatch):
         "--knn_k", str(cfg["knn_k"]),
         "--seed", str(cfg["seed"]),
         "--data_seed", str(cfg["data_seed"]),
-    ])
+    ]
+    if "dist_type" in cfg:
+        argv += ["--dist_type", cfg["dist_type"]]
+    run_lemon_main(argv)
     with open(Path(out_dir) / "res.pkl", "rb") as f:
         return pickle.load(f)["agg_results"]["know_val_labels"]
 
@@ -120,6 +123,60 @@ def test_cifar_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkey
         monkeypatch,
     )
     _assert_parity(agg, "cifar", "ref_cifar_scores.csv", out)
+
+
+@pytest.mark.parametrize("golden_key", ["caption_cat", "cifar_asym", "caption_euclid"])
+def test_extended_config_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkeypatch, golden_key):
+    """Live-reference parity beyond the two acceptance configs: category
+    caption noise, asymmetric label noise, and the euclidean kNN metric,
+    each golden-pinned from a live reference run.
+
+    On these tiny fixtures the scipy hparam search lands on plateau ties
+    (identical selected_val, different argmax — float-level objective
+    noise picks a different equal-F1 optimum), so per-sample scores can
+    shift while rankings agree. Assertions therefore split into:
+    - split assembly bit-exact (dataset + noise-stream parity),
+    - detection quality: rank correlation >= 0.997 per split and own-AUROC
+      within 2.5e-3 of the golden,
+    - the tie-break-immune CONTROL: scoring lemon_tpu's neighbor
+      components at the REFERENCE's selected hparams must reproduce the
+      reference AUROC within 1e-3 (measured exact to 6 decimals)."""
+    import pandas as pd
+    from scipy.stats import spearmanr
+
+    from lemon_tpu.scoring.lemon import NeighborLogs, calc_scores
+    from lemon_tpu.scoring.metrics import prob_metrics
+
+    cfg = GOLDENS[golden_key]["config"]
+    if cfg["dataset"] == "mscoco":
+        env = {"LEMON_TPU_PATH_MSCOCO": parity_fixtures["caption"],
+               "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]}
+    else:
+        env = {"LEMON_TPU_DATA_ROOT": parity_fixtures["cifar_root"],
+               "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]}
+    out = tmp_path / f"tpu_{golden_key}"
+    agg = _run_lemon_tpu(out, golden_key, env, monkeypatch)
+    golden = GOLDENS[golden_key]
+
+    ref = pd.read_csv(HARNESS / "goldens" / f"ref_{golden_key}_scores.csv")
+    got = pd.read_csv(out / "know_val_labels_scores.csv")
+    assert (ref["sset"].values == got["sset"].values).all()
+    np.testing.assert_array_equal(ref["idx"].values, got["idx"].values)
+    np.testing.assert_array_equal(ref["is_mislabel"].values, got["is_mislabel"].values)
+    for s in ("val", "test"):
+        assert abs(float(agg[s]["AUROC"]) - golden[f"{s}_AUROC"]) <= 2.5e-3
+        rs = ref[ref.sset == s]["pred_score"].values
+        gs = got[got.sset == s]["pred_score"].values
+        rho = spearmanr(rs, gs).statistic
+        assert rho >= 0.997, f"{golden_key}/{s} rank correlation {rho}"
+
+    with open(out / "res.pkl", "rb") as f:
+        logs = NeighborLogs.from_dataframe(pickle.load(f)["df"])
+    control = calc_scores(logs, dict(golden["ref_hparams"]))
+    for s in ("val", "test"):
+        m = logs.sset == s
+        auroc = float(prob_metrics(logs.is_mislabel[m].astype(int), control[m])["AUROC"])
+        assert abs(auroc - golden[f"{s}_AUROC"]) <= 1e-3, (golden_key, s, auroc)
 
 
 def _run_baseline_cli(out_dir, extra_env, monkeypatch, argv):
