@@ -293,7 +293,13 @@ def build_neighbor_logs(
 
         # cosine: FAISS-style similarities are negated into distances
         # (run_lemon.py:270,286); euclidean keeps squared distances.
-        D_n_signed = -D_n if cfg.dist_type == "cosine" else D_n
+        # QUIRK kept deliberately: under --use_discrete_for_text the
+        # reference's ``D_n = -D_n`` never executes (it lives inside the
+        # non-discrete else-branch, run_lemon.py:266-273), so D_n keeps
+        # the RAW search similarity sign in discrete mode while D_m is
+        # still negated. Verified against the live reference: ref D_n ==
+        # -(negated D_n) exactly on the caption_discrete golden.
+        D_n_signed = -D_n if cfg.dist_type == "cosine" and not cfg.use_discrete_for_text else D_n
         D_m_signed = -D_m if cfg.dist_type == "cosine" else D_m
 
         is_mis = (np.asarray(noisy_texts if not _is_clf(cfg) else noisy_labels) != np.asarray(clean_texts if not _is_clf(cfg) else actual_labels)).astype(np.int64)

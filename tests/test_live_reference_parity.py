@@ -80,6 +80,8 @@ def _run_lemon_tpu(out_dir, golden_key, extra_env, monkeypatch):
         argv += ["--dist_type", cfg["dist_type"]]
     if "ablation" in cfg:
         argv += ["--ablation", cfg["ablation"]]
+    for flag in cfg.get("flags", []):
+        argv += [f"--{flag}"]
     run_lemon_main(argv)
     with open(Path(out_dir) / "res.pkl", "rb") as f:
         return pickle.load(f)["agg_results"]["know_val_labels"]
@@ -130,12 +132,15 @@ def test_cifar_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkey
 @pytest.mark.parametrize("golden_key", [
     "caption_cat", "cifar_asym", "caption_euclid",
     "caption_abl_beta", "caption_abl_tau12",
+    "cifar_normd1", "caption_discrete",
 ])
 def test_extended_config_parity_vs_live_reference_golden(parity_fixtures, tmp_path, monkeypatch, golden_key):
     """Live-reference parity beyond the two acceptance configs: category
-    caption noise, asymmetric label noise, the euclidean kNN metric, and
-    the force-zero ablation branches (ablation=beta / tau_1_2), each
-    golden-pinned from a live reference run.
+    caption noise, asymmetric label noise, the euclidean kNN metric, the
+    force-zero ablation branches (ablation=beta / tau_1_2), the
+    --normalize_d1 per-class softmax branch, and the
+    --use_discrete_for_text discrete text metric — each golden-pinned
+    from a live reference run.
 
     On these tiny fixtures the scipy hparam search lands on plateau ties
     (identical selected_val, different argmax — float-level objective

@@ -99,7 +99,13 @@ def reference_logs(cfg, splits, encoder, label_set):
                 dists_n = ((txt[i] - txt_tr[I_n]) ** 2).sum(1)
             if cfg.dist_type == "cosine":
                 dists_m = 1 - img_tr[I_m] @ img[i]
-                D_n_signed, D_m_signed = -D_n, -D_m
+                # the reference's ``D_n = -D_n`` lives INSIDE the
+                # non-discrete else-branch (run_lemon.py:266-273): under
+                # --use_discrete_for_text D_n keeps the raw similarity
+                # sign while D_m is still negated (verified against the
+                # live reference, caption_discrete golden)
+                D_n_signed = D_n if cfg.use_discrete_for_text else -D_n
+                D_m_signed = -D_m
             else:
                 dists_m = ((img[i] - img_tr[I_m]) ** 2).sum(1)
                 D_n_signed, D_m_signed = D_n, D_m
