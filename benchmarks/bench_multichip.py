@@ -108,12 +108,51 @@ def main(argv=None):
         index.search(xq, k=args.k)
         knn_rate = n_db * args.queries / (time.perf_counter() - t0)
 
+        # --- train step: DP, and dp×tp2 when the width is even --------------
+        from lemon_tpu.train.contrastive import (
+            TrainConfig,
+            create_train_state,
+            make_train_step,
+            shard_train_batch,
+        )
+
+        def train_rate(mesh_t):
+            tcfg = TrainConfig(
+                batch_size=args.batch_per_chip * width,
+                warmup_steps=1, total_steps=10,
+                precision="bf16" if not args.tiny else "fp32",
+            )
+            m, state = create_train_state(cfg, tcfg, mesh=mesh_t)
+            step = make_train_step(m, mesh=mesh_t, state=state)
+            px = rng.standard_normal((tcfg.batch_size, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32)
+            tk = rng.integers(1, cfg.vocab_size - 2, (tcfg.batch_size, cfg.context_length)).astype(np.int32)
+            tk[:, -1] = cfg.vocab_size - 1
+            if mesh_t is not None:
+                px, tk = shard_train_batch(mesh_t, px, tk)
+            else:
+                px, tk = jnp.asarray(px), jnp.asarray(tk)
+            state, loss = step(state, px, tk)  # compile
+            float(loss)
+            steps_t = 2 if args.tiny else 5
+            t0 = time.perf_counter()
+            for _ in range(steps_t):
+                state, loss = step(state, px, tk)
+            float(loss)
+            return tcfg.batch_size * steps_t / (time.perf_counter() - t0)
+
+        train_dp = train_rate(mesh)
+        train_tp = None
+        if width >= 2 and width % 2 == 0:
+            train_tp = train_rate(get_mesh(width // 2, 2))
+
         print(json.dumps({
             "devices": width,
             "embed_img_per_sec": round(embed_rate, 1),
             "embed_img_per_sec_per_chip": round(embed_rate / width, 1),
             "knn_pairs_per_sec": round(knn_rate, 0),
             "knn_pairs_per_sec_per_chip": round(knn_rate / width, 0),
+            "train_pairs_per_sec_dp": round(train_dp, 1),
+            "train_pairs_per_sec_dp_tp2": round(train_tp, 1) if train_tp else None,
         }), flush=True)
 
 
