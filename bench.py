@@ -68,10 +68,11 @@ def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: i
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_text_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: int = 22) -> float:
+def bench_text_embeddings(batch_size: int = 96, steps_small: int = 2, steps_large: int = 22) -> float:
     """Text tower (77-token BPE context) throughput, same methodology.
-    batch 128 unpacked measured fastest on v5e (20.7k; 256 -> 18.8k,
-    packing loses at L=77 — BENCH_NOTES continued session)."""
+    batch 96 unpacked measured fastest on v5e (21.8k; 64 -> 19.5k, 128 ->
+    20.7k, 192 -> 21.4k, 256 -> 18.9k; packing loses at L=77 —
+    BENCH_NOTES continued session)."""
     import functools
 
     import jax
