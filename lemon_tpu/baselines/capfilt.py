@@ -53,6 +53,13 @@ def clip_itm_proxy(encoder, scale: float = 10.0) -> Callable:
     """P(match) ~ sigmoid(scale * cosine) with this framework's CLIP."""
 
     def score(images_u8, captions):
+        if isinstance(images_u8, (list, tuple)) and len({np.asarray(a).shape for a in images_u8}) > 1:
+            # heterogeneous raw sizes (real caption corpora): unify on
+            # host with the reference-exact PIL transform before stacking
+            from lemon_tpu.ops.image import pil_resize_crop_u8
+
+            size = encoder.cfg.image_resolution
+            images_u8 = [pil_resize_crop_u8(a, size) for a in images_u8]
         img = encoder.encode_images(np.asarray(images_u8))
         txt = encoder.encode_texts(list(captions))
         sim = np.sum(img * txt, axis=1)
@@ -88,7 +95,11 @@ def run_capfilt(
         noisy_texts, _, _, _ = _texts_for_split(cfg, split, label_set)
         p_match = np.zeros(len(split))
         for idx, n_valid in iter_batches(split, cfg.batch_size):
-            images = load_images(split, idx)
+            # per-image list: real corpora have heterogeneous raw sizes —
+            # the HF BLIP processor resizes each itself (like the
+            # reference feeding PIL images), and the CLIP proxy unifies
+            # ragged lists on host (clip_itm_proxy)
+            images = [load_images(split, np.asarray([i]))[0] for i in idx]
             p = itm_score_fn(images, [noisy_texts[i] for i in idx])
             p_match[idx[:n_valid]] = p[:n_valid]
         scores[sname] = 1.0 - p_match  # high = mismatch = likely mislabel

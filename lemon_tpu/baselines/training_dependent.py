@@ -62,10 +62,13 @@ def run_training_dependent(
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, pixels, labels):
+    def train_step(params, opt_state, pixels, labels, mask):
         def loss_fn(p):
             logits = model.apply(p, pixels)
-            return classification_loss(logits, labels), logits
+            # masked mean: iter_batches pads the final batch by repeating
+            # rows — unmasked they would contribute extra gradient weight
+            # (the reference's DataLoader sees each sample exactly once)
+            return classification_loss(logits, labels, mask), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -78,9 +81,10 @@ def run_training_dependent(
             split = splits[phase]
             epoch_probs = np.zeros((len(split), n_classes), np.float32)
             for idx, n_valid in iter_batches(split, cfg.batch_size):
-                pixels = preprocess_device(load_images(split, idx), size=model_cfg.image_resolution)
+                pixels = preprocess_device(load_images(split, idx, decode_size=model_cfg.image_resolution), size=model_cfg.image_resolution)
                 labels = jnp.asarray(split.y_noisy[idx] % n_classes)
-                params, opt_state, loss, probs = train_step(params, opt_state, pixels, labels)
+                mask = jnp.arange(len(idx)) < n_valid
+                params, opt_state, loss, probs = train_step(params, opt_state, pixels, labels, mask)
                 assert np.isfinite(float(loss))
                 epoch_probs[idx[:n_valid]] = np.asarray(probs)[:n_valid]
             probs_by_phase[phase].append(epoch_probs)

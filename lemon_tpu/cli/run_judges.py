@@ -269,7 +269,9 @@ def main(argv=None):
     for sset, split in (("val", val), ("test", test)):
         if args.debug:
             split = split.subset(np.arange(min(20, len(split))))
-        images = load_images(split, np.arange(len(split)))
+        # per-image list (no stack): VLM processors take ragged raw sizes
+        # like the reference's PIL feed; real corpora are heterogeneous
+        images = [load_images(split, np.asarray([i]))[0] for i in range(len(split))]
         captions = list(split.sentence)
         if args.judge == "llava":
             logs = run_llava_judge(

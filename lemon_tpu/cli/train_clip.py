@@ -63,7 +63,7 @@ def batch_iterator(split, tokenizer_ctx, batch_size, image_size, seed):
         order = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
-            images = load_images(split, idx)
+            images = load_images(split, idx, decode_size=image_size)
             # host-side random resized crop on the raw uint8 (cheap at
             # synthetic/benchmark sizes; device path handles the resize)
             from lemon_tpu.ops.image import preprocess_device

@@ -133,9 +133,20 @@ def iter_batches(split: Split, batch_size: int, pad: bool = True) -> Iterator[Tu
         yield idx, n_valid
 
 
-def load_images(split: Split, idx: np.ndarray) -> np.ndarray:
+def load_images(split: Split, idx: np.ndarray, decode_size: Optional[int] = None) -> np.ndarray:
     """Materialize a batch of uint8 HWC images (decode from disk in paths
-    mode — the only remaining host-side work)."""
+    mode — the only remaining host-side work).
+
+    Real paths-backed corpora (mscoco/flickr30k/...) have heterogeneous
+    raw sizes, which cannot stack into one device batch. With
+    ``decode_size`` set (model-aware callers pass their input resolution),
+    a ragged batch is host-resized per image with the reference's exact
+    transform — PIL bicubic shorter-side Resize + CenterCrop
+    (lib/datasets/utils.py:163-170) — to ``decode_size`` and returned as
+    uint8; the device preprocess then degenerates to an identity resize +
+    normalize, so the end-to-end pixel math equals the reference's.
+    Uniform batches stack raw regardless (the on-device resize path,
+    byte-parity-tested vs PIL, stays the fast path)."""
     if split.images is not None:
         return split.images[idx]
     from PIL import Image
@@ -144,6 +155,17 @@ def load_images(split: Split, idx: np.ndarray) -> np.ndarray:
     for i in idx:
         with Image.open(split.paths[i]) as img:
             out.append(np.asarray(img.convert("RGB"), np.uint8))
+    shapes = {a.shape for a in out}
+    if len(shapes) > 1:
+        if decode_size is None:
+            raise ValueError(
+                f"batch mixes image shapes {sorted(shapes)}; pass "
+                "decode_size=<model input resolution> so load_images can "
+                "apply the reference's PIL Resize+CenterCrop per image"
+            )
+        from lemon_tpu.ops.image import pil_resize_crop_u8
+
+        out = [pil_resize_crop_u8(a, decode_size) for a in out]
     return np.stack(out)
 
 

@@ -105,7 +105,24 @@ def flip_labels(
 ) -> np.ndarray:
     """Dispatcher matching add_noisy_labels (lib/datasets/utils.py:172-193)."""
     if noise_type == "real":
-        return load_cifar_n_labels(dataset, data_root)
+        labels = np.asarray(load_cifar_n_labels(dataset, data_root))
+        if y_true is not None and len(labels) != len(y_true):
+            # Reference quirk kept: add_noisy_labels ignores y_true for
+            # 'real' noise and always returns the 50k TRAIN annotation
+            # file; the cifar*_full TEST split (utils.py:385-393) then
+            # reads its first len(test) rows through per-index dataset
+            # access — train-row annotations applied to test images.
+            # Truncate to reproduce that instead of returning a
+            # wrong-length array that breaks the split invariants.
+            print(
+                f"[lemon_tpu] WARNING: CIFAR-N 'real' noise file has "
+                f"{len(labels)} rows for a {len(y_true)}-row split; using "
+                f"the first {len(y_true)} (reference behavior — these are "
+                f"train-row annotations, not annotations of these images)"
+            )
+            labels = labels[: len(y_true)]
+            assert len(labels) == len(y_true), "CIFAR-N file smaller than the split"
+        return labels
     assert y_true is not None
     assert 0 <= noise_level < 1
     y_true = np.asarray(y_true)
@@ -123,7 +140,10 @@ def flip_labels(
         return y_true.copy()
     noisy = apply_transition_noise(y_true, t, data_seed)
     actual = (noisy != y_true).mean()
-    assert actual > 0.0, "noise level produced no flips"
+    if actual == 0.0 and noise_level > 0:
+        # legitimately possible at low noise_level x small n (the
+        # multinomial draws are independent); the reference proceeds
+        print("[lemon_tpu] WARNING: noise draw produced no flips")
     print(f"Actual noise {actual:.2f}")
     return noisy
 

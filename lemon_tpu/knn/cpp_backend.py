@@ -58,9 +58,13 @@ def available() -> bool:
 
 def search(xb: np.ndarray, xq: np.ndarray, k: int, metric: str = "ip") -> Tuple[np.ndarray, np.ndarray]:
     """FAISS-compatible exact search on host ('ip' descending inner
-    products, 'l2' ascending squared distances; ascending-index ties)."""
+    products, 'l2' ascending squared distances; ascending-index ties).
+    ``k > len(xb)`` pads the tail slots with score -inf (+inf distance for
+    'l2') and index ``len(xb)`` — the device path's padding contract."""
     xb = np.ascontiguousarray(xb, np.float32)
     xq = np.ascontiguousarray(xq, np.float32)
+    assert xb.ndim == 2 and xq.ndim == 2 and xb.shape[1] == xq.shape[1], (xb.shape, xq.shape)
+    assert k >= 1
     n_q = len(xq)
     scores = np.empty((n_q, k), np.float32)
     idx = np.empty((n_q, k), np.int32)
@@ -73,6 +77,8 @@ def search(xb: np.ndarray, xq: np.ndarray, k: int, metric: str = "ip") -> Tuple[
 def pair_distances(a: np.ndarray, b: np.ndarray, metric: str = "cosine") -> np.ndarray:
     a = np.ascontiguousarray(a, np.float32)
     b = np.ascontiguousarray(b, np.float32)
+    # the C kernel reads len(a) rows of width a.shape[1] from BOTH arrays
+    assert a.shape == b.shape and a.ndim == 2, (a.shape, b.shape)
     out = np.empty(len(a), np.float32)
     _lib().pair_distance(a, b, len(a), a.shape[1], 0 if metric == "cosine" else 1, out)
     return out

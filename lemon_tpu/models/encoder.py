@@ -169,7 +169,7 @@ class ClipEncoder:
 
         def assemble(item):
             idx, n_valid = item
-            images = load_images(split, idx)
+            images = load_images(split, idx, decode_size=self.cfg.image_resolution)
             tokens = self._tokenize([texts[i] for i in idx])
             return images, tokens, n_valid
 

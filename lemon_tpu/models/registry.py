@@ -64,11 +64,9 @@ def _load_params(path: Path, cfg: ClipConfig):
     if path.suffix == ".npz":
         import numpy as np
 
-        import jax
-
         blob = np.load(path)
         flat = {k: blob[k] for k in blob.files}
-        return jax.tree_util.tree_map(lambda x: x, _unflatten(flat)), cfg
+        return _unflatten(flat), cfg
     if path.suffix == ".safetensors":
         from safetensors.numpy import load_file
 

@@ -156,6 +156,22 @@ def preprocess_device(
     )
 
 
+def pil_resize_crop_u8(arr: np.ndarray, size: int) -> np.ndarray:
+    """torchvision ``Resize(size, bicubic) + CenterCrop(size)`` on a uint8
+    HWC array via PIL — byte-exact with the reference's transform
+    (lib/datasets/utils.py:163-170). Used to unify heterogeneous raw image
+    sizes on host before a device batch is assembled."""
+    from PIL import Image
+
+    im = Image.fromarray(np.asarray(arr, np.uint8))
+    h, w = arr.shape[:2]
+    out_h, out_w = resize_shorter_side(h, w, size)
+    im = im.resize((out_w, out_h), Image.BICUBIC)
+    top, left = center_crop_bounds(out_h, out_w, size)
+    im = im.crop((left, top, left + size, top + size))
+    return np.asarray(im, np.uint8)
+
+
 def preprocess_pil(pil_image, size: int = 224, mean=CLIP_MEAN, std=CLIP_STD) -> np.ndarray:
     """Host-side reference path, byte-matching torchvision's
     Resize(bicubic)+CenterCrop+ToTensor+Normalize. Returns (size, size, 3)."""

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -46,7 +44,8 @@ def aum_score(probs_epochs: np.ndarray, y: np.ndarray) -> np.ndarray:
     """
     probs_epochs = np.asarray(probs_epochs)
     y = np.asarray(y)
-    assert y.min() == 0, "labels must be 0-indexed"
+    # range check only: a split may validly contain no class-0 examples
+    assert y.min() >= 0 and y.max() < probs_epochs.shape[2], "labels out of range"
     observed = np.unique(y)
     e, n, c = probs_epochs.shape
     true_p = probs_epochs[:, np.arange(n), y]  # (E, N)
@@ -65,7 +64,7 @@ def datamap_score(probs_epochs: np.ndarray, y: np.ndarray, threshold: float | No
     """
     probs_epochs = np.asarray(probs_epochs)
     y = np.asarray(y)
-    assert y.min() == 0, "labels must be 0-indexed"
+    assert y.min() >= 0 and y.max() < probs_epochs.shape[2], "labels out of range"
     n = len(y)
     true_p = probs_epochs[:, np.arange(n), y]  # (E, N)
     mean = true_p.mean(axis=0)
@@ -77,24 +76,6 @@ def datamap_score(probs_epochs: np.ndarray, y: np.ndarray, threshold: float | No
     return flags.astype(np.int64), np.stack([mean, std], axis=1)
 
 
-import functools
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _knn_votes(features: jnp.ndarray, labels_onehot: jnp.ndarray, k: int, min_similarity: float):
-    """Weighted kNN label votes on device (cosine distance)."""
-    f = features / jnp.linalg.norm(features, axis=1, keepdims=True)
-    dist = 1.0 - f @ f.T
-    neg_vals, idx = jax.lax.top_k(-dist, k)  # ascending distances
-    vals = -neg_vals
-    # First hit is self (distance ~0): the SimiFeat trick replaces it with a
-    # linear extrapolation from neighbors 1 and 2 (lib/metrics/utils.py:214).
-    vals = vals.at[:, 0].set(2.0 * vals[:, 1] - vals[:, 2])
-    weights = 1.0 - min_similarity - vals  # (N, k)
-    votes = jnp.einsum("nk,nkc->nc", weights, labels_onehot[idx])
-    return votes
-
-
 def knn_label_distribution(
     features: np.ndarray,
     labels: np.ndarray,
@@ -104,9 +85,30 @@ def knn_label_distribution(
     norm: str = "l2",
 ) -> np.ndarray:
     """Per-example class-probability estimate from weighted kNN votes
-    (count_knn_distribution, lib/metrics/utils.py:205-233)."""
-    onehot = np.eye(n_classes, dtype=np.float32)[np.asarray(labels)]
-    votes = np.asarray(_knn_votes(jnp.asarray(features, jnp.float32), jnp.asarray(onehot), k, min_similarity))
+    (count_knn_distribution, lib/metrics/utils.py:205-233).
+
+    Runs through the tiled :class:`~lemon_tpu.knn.ExactKnnIndex` (the
+    FAISS-role component) instead of materializing the full N x N
+    cosine-distance matrix — at the pipeline's own comparison-set scale
+    (50k-500k rows) the dense matrix would OOM the device. Ordering is
+    identical: descending similarity with ascending-index tie-break
+    matches lax.top_k's first-occurrence rule on the dense path."""
+    from lemon_tpu.knn import ExactKnnIndex
+
+    labels = np.asarray(labels)
+    f = np.asarray(features, np.float32)
+    f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-30)
+    index = ExactKnnIndex(metric="ip")
+    index.add(f)
+    sims, idx = index.search(f, k)
+    vals = 1.0 - sims  # ascending cosine distances; first hit is self
+    # SimiFeat trick: replace the self distance (~0) with a linear
+    # extrapolation from neighbors 1 and 2 (lib/metrics/utils.py:214).
+    vals[:, 0] = 2.0 * vals[:, 1] - vals[:, 2]
+    weights = (1.0 - min_similarity - vals).astype(np.float32)  # (N, k)
+    n = len(f)
+    votes = np.zeros((n, n_classes), np.float32)
+    np.add.at(votes, (np.repeat(np.arange(n), k), labels[idx].ravel()), weights.ravel())
     if norm == "l2":
         denom = np.linalg.norm(votes, axis=1, keepdims=True)
     elif norm == "l1":

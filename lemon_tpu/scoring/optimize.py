@@ -49,9 +49,14 @@ def default_grid() -> Dict[str, Sequence[float]]:
     }
 
 
-def grid_to_matrix(grid: Dict[str, Sequence[float]], force_zero=()) -> np.ndarray:
+def grid_to_matrix(grid: Dict[str, Sequence[float]], force_zero=(), force_one=()) -> np.ndarray:
     """Expand a named grid into a (G, 6) matrix in HPARAM_ORDER, mapping the
-    shared tau_1 -> (tau_1_n, tau_1_m) and tau_2 -> (tau_2_n, tau_2_m)."""
+    shared tau_1 -> (tau_1_n, tau_1_m) and tau_2 -> (tau_2_n, tau_2_m).
+    ``force_zero``/``force_one`` pin ablated coordinates in the MATRIX
+    itself so the device grid ranks rows under the same objective the
+    caller will evaluate them with — ranking unforced rows and forcing
+    only at re-evaluation can hide the forced-optimal combination behind
+    scale-equivalent duplicates."""
     from itertools import product
 
     keys = list(grid.keys())
@@ -68,7 +73,11 @@ def grid_to_matrix(grid: Dict[str, Sequence[float]], force_zero=()) -> np.ndarra
                 v = named["tau_2"]
             else:
                 raise KeyError(name)
-            row.append(0.0 if name in force_zero else v)
+            if name in force_zero:
+                v = 0.0
+            elif name in force_one:
+                v = 1.0
+            row.append(v)
         rows.append(row)
     return np.asarray(rows, dtype=np.float64)
 
@@ -252,7 +261,7 @@ def maximize_metric(
             for x0 in x0s:
                 consider(_proxy_lbfgs(logs_val, y, x0, force_zero, force_one))
 
-    gm = grid_to_matrix(grid, force_zero=force_zero)
+    gm = grid_to_matrix(grid, force_zero=force_zero, force_one=force_one)
     with timer.phase("hparam_grid"):
         if use_device_grid:
             f1s = grid_best_f1_device(logs_val, y, gm)

@@ -76,7 +76,7 @@ def per_sample_caption_losses(model: CaptioningModel, params, split: CaptioningS
 
     out = np.zeros(len(split), np.float64)
     for idx, n_valid in iter_batches(split, cfg.batch_size):
-        pixels = preprocess_device(load_images(split, idx), size=mc.vision.image_resolution)
+        pixels = preprocess_device(load_images(split, idx, decode_size=mc.vision.image_resolution), size=mc.vision.image_resolution)
         tokens = jnp.asarray(_tokenize_captions(split.sentence[idx], mc))
         out[idx[:n_valid]] = np.asarray(losses(params, pixels, tokens))[:n_valid]
     return out
@@ -153,7 +153,7 @@ def train_captioner(
             n_valid = len(idx)
             if n_valid < cfg.batch_size:
                 idx = np.concatenate([idx, np.resize(order, cfg.batch_size - n_valid)])
-            pixels = preprocess_device(load_images(train, idx), size=mc.vision.image_resolution)
+            pixels = preprocess_device(load_images(train, idx, decode_size=mc.vision.image_resolution), size=mc.vision.image_resolution)
             tokens = jnp.asarray(_tokenize_captions(train.sentence[idx], mc))
             mask = jnp.arange(cfg.batch_size) < n_valid
             params, opt_state, loss = train_step(params, opt_state, pixels, tokens, mask)
@@ -179,7 +179,7 @@ def train_captioner(
     generated = []
     test = splits["test"]
     for idx, n_valid in iter_batches(test, cfg.batch_size):
-        pixels = preprocess_device(load_images(test, idx), size=mc.vision.image_resolution)
+        pixels = preprocess_device(load_images(test, idx, decode_size=mc.vision.image_resolution), size=mc.vision.image_resolution)
         toks = np.asarray(gen(best_params, pixels))[:n_valid]
         for row in toks:
             ids = [int(t) for t in row[1:] if t not in (0, bos, eot)]

@@ -78,7 +78,7 @@ def _predict_split(predict, params, split, batch_size, image_size):
     ``predict`` is a jitted (params, pixels) -> probs function."""
     preds = []
     for idx, n_valid in iter_batches(split, batch_size):
-        pixels = preprocess_device(load_images(split, idx), size=image_size)
+        pixels = preprocess_device(load_images(split, idx, decode_size=image_size), size=image_size)
         preds.append(np.asarray(predict(params, pixels))[:n_valid])
     probs = np.concatenate(preds)
     return probs, probs.argmax(axis=1)
@@ -96,7 +96,7 @@ def _epoch_batches(split, batch_size, image_size, rng):
         n_valid = len(idx)
         if n_valid < batch_size:
             idx = np.concatenate([idx, np.resize(order, batch_size - n_valid)])
-        images = load_images(split, idx)
+        images = load_images(split, idx, decode_size=image_size)
         pixels = preprocess_device(images, size=image_size)
         yield pixels, jnp.asarray(split.y_noisy[idx]), n_valid
 

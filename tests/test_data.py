@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from lemon_tpu.data.datasets import (
+    CaptioningSplit,
     ClassificationSplit,
     get_dataset,
     iter_batches,
@@ -158,6 +159,45 @@ def test_iter_batches_padding():
     assert all(len(idx) == 4 for idx, _ in batches)  # static shapes
     imgs = load_images(split, batches[-1][0])
     assert imgs.shape == (4, 4, 4, 3)
+
+
+def test_load_images_heterogeneous_paths(tmp_path):
+    """Real caption corpora have ragged raw sizes: load_images must
+    host-unify them with the reference-exact PIL Resize+CenterCrop when
+    decode_size is given, and fail loudly (not with a numpy stack error)
+    when it is not."""
+    from PIL import Image
+
+    from lemon_tpu.ops.image import pil_resize_crop_u8, preprocess_pil
+
+    rng = np.random.default_rng(0)
+    arrs = [
+        rng.integers(0, 256, (40, 64, 3), np.uint8),
+        rng.integers(0, 256, (56, 48, 3), np.uint8),
+        rng.integers(0, 256, (32, 32, 3), np.uint8),
+    ]
+    paths = []
+    for i, a in enumerate(arrs):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(str(p))
+    split = CaptioningSplit(
+        sentence=np.array(["a", "b", "c"], object),
+        gold_sentence=np.array(["a", "b", "c"], object),
+        images=None, paths=np.array(paths, object),
+    )
+    with pytest.raises(ValueError, match="decode_size"):
+        load_images(split, np.arange(3))
+    out = load_images(split, np.arange(3), decode_size=32)
+    assert out.shape == (3, 32, 32, 3) and out.dtype == np.uint8
+    # reference-exact pixels: (u8/255 - mean)/std equals the PIL oracle
+    for a, got in zip(arrs, out):
+        np.testing.assert_array_equal(got, pil_resize_crop_u8(a, 32))
+        oracle = preprocess_pil(Image.fromarray(a), size=32)
+        np.testing.assert_allclose(
+            (got / 255.0 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array([0.26862954, 0.26130258, 0.27577711]),
+            oracle, atol=1e-6,
+        )
 
 
 def test_cifar_n_real_noise_loader(tmp_path, monkeypatch):
