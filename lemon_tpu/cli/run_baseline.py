@@ -55,6 +55,20 @@ def main(argv=None):
     np.random.seed(args.seed)
     dump_args(out_dir, vars(args))
 
+    # The parser is inherited from run_lemon for flag-name familiarity,
+    # but several run_lemon-only flags have no baseline semantics. Refuse
+    # non-default values loudly rather than letting args.json record
+    # options that silently did nothing.
+    unsupported = {
+        "normalize_d1": False, "ablation": "none", "use_discrete_for_text": False,
+        "real_dataset": False, "subset_val_set": -1, "mesh": None,
+        "embedding_cache": None, "skip_hparam_optim": False,
+        "strict_hparam_parity": False,
+    }
+    for flag, default in unsupported.items():
+        if getattr(args, flag, default) != default:
+            raise SystemExit(f"--{flag} is a run_lemon flag with no effect on baselines; remove it")
+
     cfg = BaselineConfig(
         dataset=args.dataset, noise_type=args.noise_type, noise_level=args.noise_level,
         dist_type=args.dist_type, clip_model=args.clip_model, knn_k=args.knn_k,

@@ -51,26 +51,108 @@ def build_parser():
     return p
 
 
-def batch_iterator(split, tokenizer_ctx, batch_size, image_size, seed):
-    """Shuffled epochs of {'pixels', 'tokens'} with random-resized-crop
-    augmentation (train_clip_from_scratch.py:116-121 uses
-    RandomResizedCrop(224, scale=(0.3, 1.0)))."""
-    from lemon_tpu.data.datasets import load_images
-    from lemon_tpu.models.tokenizer import tokenize_batch
-    rng = np.random.default_rng(seed)
-    n = len(split)
-    while True:
-        order = rng.permutation(n)
-        for start in range(0, n - batch_size + 1, batch_size):
-            idx = order[start : start + batch_size]
-            images = load_images(split, idx, decode_size=image_size)
-            # host-side random resized crop on the raw uint8 (cheap at
-            # synthetic/benchmark sizes; device path handles the resize)
-            from lemon_tpu.ops.image import preprocess_device
+def _rrc_box(rng, h, w, scale=(0.3, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """torchvision RandomResizedCrop.get_params semantics: 10 attempts of
+    (area, log-uniform aspect) sampling, center-crop-with-ratio-clamp
+    fallback. Returns (top, left, crop_h, crop_w)."""
+    import math
 
-            pixels = np.asarray(preprocess_device(images, size=image_size))
-            tokens = tokenize_batch(list(split.sentence[idx]), tokenizer_ctx)
-            yield {"pixels": pixels, "tokens": tokens}
+    area = h * w
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            return rng.integers(0, h - ch + 1), rng.integers(0, w - cw + 1), ch, cw
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        ch, cw = h, int(round(h * ratio[1]))
+    else:
+        cw, ch = w, h
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+
+class BatchStream:
+    """Shuffled epochs of {'pixels', 'tokens'} with RandomResizedCrop
+    augmentation — torchvision semantics, matching the reference's
+    training transform RandomResizedCrop(224, scale=(0.3, 1.0))
+    (train_clip_from_scratch.py:116-121); each crop is bilinear-resized to
+    the model input like torchvision's default interpolation.
+
+    Per-sample crop RNG is keyed on (seed, global batch index, slot), so
+    ``skip(n)`` can fast-forward a resume by replaying only the shuffle
+    bookkeeping — no image decode/augment/tokenize for consumed batches —
+    while reproducing the exact crops an uninterrupted run would draw.
+    """
+
+    def __init__(self, split, tokenizer_ctx, batch_size, image_size, seed, augment=True):
+        self.split = split
+        self.tokenizer_ctx = tokenizer_ctx
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.seed = seed
+        self.augment = augment
+        self._order_rng = np.random.default_rng(seed)
+        self._order = None
+        self._pos = 0
+        self._step = 0
+
+    def _next_idx(self):
+        n = len(self.split)
+        per_epoch = n // self.batch_size
+        assert per_epoch > 0, (
+            f"split of {n} rows is smaller than batch_size={self.batch_size}"
+        )
+        if self._order is None or self._pos >= per_epoch:
+            self._order = self._order_rng.permutation(n)
+            self._pos = 0
+        start = self._pos * self.batch_size
+        self._pos += 1
+        return self._order[start : start + self.batch_size]
+
+    def skip(self, n_batches: int) -> None:
+        for _ in range(int(n_batches)):
+            self._next_idx()
+            self._step += 1
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        from PIL import Image
+
+        from lemon_tpu.data.datasets import load_images
+        from lemon_tpu.models.tokenizer import tokenize_batch
+        from lemon_tpu.ops.image import preprocess_device
+
+        idx = self._next_idx()
+        size = self.image_size
+        if self.augment:
+            crops = []
+            for slot, i in enumerate(idx):
+                raw = load_images(self.split, np.asarray([i]))[0]
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, self._step, slot])
+                )
+                top, left, ch, cw = _rrc_box(rng, raw.shape[0], raw.shape[1])
+                crop = raw[top : top + ch, left : left + cw]
+                im = Image.fromarray(crop).resize((size, size), Image.BILINEAR)
+                crops.append(np.asarray(im, np.uint8))
+            images = np.stack(crops)
+        else:
+            images = load_images(self.split, idx, decode_size=size)
+        pixels = np.asarray(preprocess_device(images, size=size))
+        tokens = tokenize_batch(list(self.split.sentence[idx]), self.tokenizer_ctx)
+        self._step += 1
+        return {"pixels": pixels, "tokens": tokens}
+
+
+def batch_iterator(split, tokenizer_ctx, batch_size, image_size, seed, augment=True):
+    return BatchStream(split, tokenizer_ctx, batch_size, image_size, seed, augment)
 
 
 def main(argv=None):

@@ -134,7 +134,11 @@ class EarlyStopping:
         improved = metric > self.best if self.mode == "max" else metric < self.best
         if improved:
             self.best = metric
-            self.best_payload = payload
+            if payload is not None:
+                # an improving step WITHOUT a payload keeps the previous
+                # snapshot (e.g. seed()'s) rather than clobbering it with
+                # None — best_payload must never regress to nothing
+                self.best_payload = payload
             self.since_best = 0
         else:
             self.since_best += 1

@@ -34,6 +34,10 @@ def cluster_caption_text(
     encoder: ClipEncoder | None = None,
     seed: int = 0,
 ) -> Tuple[CaptionKMeans, np.ndarray]:
+    """``seed`` seeds both the (fallback) encoder init and the k-means
+    restarts. The reference's FaissKMeans defaults to seed=42, but its RNG
+    (faiss's internal sampler) is not reproducible here anyway — cluster
+    assignments match in distribution, not bit-for-bit."""
     if encoder is None:
         from lemon_tpu.models.registry import create_encoder
 

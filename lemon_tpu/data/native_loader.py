@@ -101,6 +101,11 @@ class NativeShardGather:
         assert idx.size == 0 or (idx.min() >= 0 and idx.max() < self._n), "index out of range"
         if out is None:
             out = np.empty((len(idx),) + self._row_shape, np.uint8)
+        else:
+            # reshape below must be a VIEW: a non-contiguous caller buffer
+            # would get a silent copy and the gathered bytes lost
+            assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8, "out must be C-contiguous uint8"
+            assert out.shape == (len(idx),) + self._row_shape, (out.shape, len(idx), self._row_shape)
         if len(idx) == 0:
             return out
         rc = _lib().shard_gather(

@@ -24,7 +24,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_SECTION_HEADER = re.compile(r"(?:^|\n) ?([A-Z ()/,-]+):\s")
+# Exactly MIT-LCP's p_section (section_parser.py:22-23): a header must be
+# preceded by newline + ONE space (real MIMIC-CXR reports indent every
+# line). A report whose first line is an unindented header therefore
+# parses as 'full report' — reproduced deliberately; a looser
+# start-of-string/optional-space variant changes which rows survive the
+# empty-caption filter vs the reference.
+_SECTION_HEADER = re.compile(r"\n ([A-Z ()/,-]+):\s")
 
 # Common radiology section aliases -> canonical names (subset of the
 # reference's normalize_section_names covering the captions path).
@@ -426,8 +432,10 @@ def extract_mimic_caption(study_id: str, report: str) -> str:
         last = pairs[-1][1] if pairs else ""
         if "\n \n" in last:
             lp = "\n \n".join(last.split("\n \n")[1:]).strip()
-            if lp:
-                out += "IMPRESSION:\n" + lp + "\n"
+            # emitted even when lp strips to empty — the notebook's parse
+            # appends 'IMPRESSION:\n' + '' + '\n' whenever the
+            # last_paragraph section exists, keeping the row non-empty
+            out += "IMPRESSION:\n" + lp + "\n"
     return out
 
 

@@ -75,10 +75,13 @@ def center_crop_bounds(h: int, w: int, size: int) -> Tuple[int, int]:
 
 def resize_shorter_side(h: int, w: int, target: int) -> Tuple[int, int]:
     """torchvision Resize(int) convention: shorter side -> target, preserve
-    aspect ratio."""
+    aspect ratio. The long edge TRUNCATES (``int(target * long / short)``,
+    torchvision _compute_resized_output_size) — rounding instead shifts
+    the resample grid by a pixel for ~half of all aspect ratios and
+    changes every output pixel vs the reference pipeline."""
     if h <= w:
-        return target, max(int(round(target * w / h)), 1)
-    return max(int(round(target * h / w)), 1), target
+        return target, max(int(target * w / h), 1)
+    return max(int(target * h / w), 1), target
 
 
 def _round_u8(x):

@@ -4,7 +4,8 @@ Replaces faiss.Kmeans (lib/datasets/clustering.py:13-41; n_init restarts,
 max_iter Lloyd's steps, max_points_per_centroid subsampling) with a pure
 XLA program: the assignment step is a distance matmul on the MXU, the
 update step a segment-sum — both batched over restarts via vmap. Runs
-unchanged on CPU meshes for tests.
+unchanged on CPU meshes for tests. All n_init restarts run in one
+vmapped dispatch (_lloyd_restarts).
 """
 
 from __future__ import annotations
@@ -18,8 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "n_iter"))
-def _lloyd(x: jnp.ndarray, init_centroids: jnp.ndarray, n_clusters: int, n_iter: int):
+def _lloyd_impl(x: jnp.ndarray, init_centroids: jnp.ndarray, n_clusters: int, n_iter: int):
     """x: (N, D); init_centroids: (K, D). Returns (centroids, inertia)."""
     x_sq = jnp.sum(x * x, axis=1)
 
@@ -42,6 +42,14 @@ def _lloyd(x: jnp.ndarray, init_centroids: jnp.ndarray, n_clusters: int, n_iter:
     centroids, _ = jax.lax.scan(step, init_centroids, None, length=n_iter)
     _, dists = assign(centroids)
     return centroids, jnp.sum(dists)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "n_iter"))
+def _lloyd_restarts(x: jnp.ndarray, inits: jnp.ndarray, n_clusters: int, n_iter: int):
+    """All n_init restarts in ONE dispatch: vmap over the (R, K, D) init
+    axis — on the remote-TPU relay a serial restart loop pays per-RPC
+    latency R times for no reason."""
+    return jax.vmap(lambda c0: _lloyd_impl(x, c0, n_clusters, n_iter))(inits)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -73,14 +81,15 @@ class KMeans:
             x = x[rng.choice(len(x), cap, replace=False)]
         x_dev = jnp.asarray(x)
 
-        best_inertia, best_centroids = np.inf, None
-        for _ in range(self.n_init):
-            init = x[rng.choice(len(x), self.n_clusters, replace=False)]
-            centroids, inertia = _lloyd(x_dev, jnp.asarray(init), self.n_clusters, self.max_iter)
-            if float(inertia) < best_inertia:
-                best_inertia = float(inertia)
-                best_centroids = np.asarray(centroids)
-        self.centroids = best_centroids
+        inits = np.stack([
+            x[rng.choice(len(x), self.n_clusters, replace=False)]
+            for _ in range(self.n_init)
+        ])
+        centroids, inertias = _lloyd_restarts(
+            x_dev, jnp.asarray(inits), self.n_clusters, self.max_iter
+        )
+        best = int(np.argmin(np.asarray(inertias)))
+        self.centroids = np.asarray(centroids[best])
         return self
 
     def predict(self, x: np.ndarray) -> np.ndarray:

@@ -292,10 +292,22 @@ def train_loop(
         state = writer.restore(state)
         start_step = writer.latest_step() + 1
         print(f"resumed from step {writer.latest_step()}")
+    last_step = start_step - 1
+    last_saved = None
     try:
-        for step_idx, batch in enumerate(batches):
+        if start_step > 0 and hasattr(batches, "skip"):
+            # Replay only the data-order bookkeeping for consumed batches
+            # (cli/train_clip.py BatchStream) instead of fully assembling
+            # and discarding them — resuming at a deep step otherwise
+            # pays hours of decode/preprocess/tokenize for nothing.
+            batches.skip(start_step)
+            batches = enumerate(batches, start=start_step)
+        else:
+            batches = enumerate(batches)
+        for step_idx, batch in batches:
             if step_idx < start_step:
                 continue
+            last_step = step_idx
             pixels = jnp.asarray(batch["pixels"])
             tokens = jnp.asarray(batch["tokens"])
             if mesh is not None:
@@ -305,9 +317,16 @@ def train_loop(
                 print(f"step {step_idx}: loss {float(loss):.4f}")
             if writer is not None and step_idx > 0 and step_idx % train_cfg.save_interval == 0:
                 writer.save(step_idx, state)
+                last_saved = step_idx
             if step_idx + 1 >= train_cfg.total_steps:
                 break
     finally:
+        # Always persist the FINAL state: the interval save misses the
+        # last steps (and short/debug runs entirely), and the reference
+        # writes checkpoint_{batch_ct}.pt at the end of training
+        # (train_clip_from_scratch.py:182-187).
         if writer is not None:
+            if last_step >= 0 and last_saved != last_step:
+                writer.save(last_step, state)
             writer.close()
     return state

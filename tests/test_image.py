@@ -26,9 +26,11 @@ def test_resize_matrix_rows_sum_to_one():
 
 def test_shorter_side_and_crop_conventions():
     assert resize_shorter_side(32, 32, 224) == (224, 224)
-    assert resize_shorter_side(480, 640, 224) == (224, 299)
-    assert resize_shorter_side(640, 480, 224) == (299, 224)
-    assert center_crop_bounds(299, 224, 224) == (38, 0)
+    # torchvision truncates the long edge (int(224*640/480)=298), it does
+    # not round to 299 — _compute_resized_output_size
+    assert resize_shorter_side(480, 640, 224) == (224, 298)
+    assert resize_shorter_side(640, 480, 224) == (298, 224)
+    assert center_crop_bounds(298, 224, 224) == (37, 0)
 
 
 @pytest.mark.parametrize("h,w", [(32, 32), (224, 224), (480, 640), (96, 128)])

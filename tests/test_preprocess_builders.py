@@ -16,6 +16,7 @@ from lemon_tpu.data.preprocess import (
     build_imagenet_red,
     build_mmimdb,
     build_mscoco,
+    section_text,
 )
 
 
@@ -186,8 +187,11 @@ def test_build_mimiccxr(tmp_path):
         "study_id": [r[1] for r in rows],
         "split": ["train", "validate", "test"],
     }).to_csv(jpg / "mimic-cxr-2.0.0-split.csv.gz", index=False)
+    # Real MIMIC-CXR reports indent every line; headers are only parsed
+    # after '\n ' (MIT-LCP p_section — an unindented first-line header is
+    # part of the 'full report'/preamble).
     texts = {
-        (10000001, 50000001): "EXAM: chest\n\nFINDINGS: Clear lungs.\n\nIMPRESSION: No acute disease.\n",
+        (10000001, 50000001): "EXAM: chest\n\n FINDINGS: Clear lungs.\n\n IMPRESSION: No acute disease.\n",
         # no findings/impression sections; final paragraph after a '\n \n'
         # separator becomes the IMPRESSION (MIT-LCP last_paragraph rule)
         (10000002, 50000002): "INDICATION: cough\n \nStable appearance overall.",
@@ -213,18 +217,25 @@ def test_build_mimiccxr(tmp_path):
     # a findings-only report does NOT duplicate its tail into IMPRESSION
     from lemon_tpu.data.preprocess import extract_mimic_caption as emc
 
-    cap = emc("s99999999", "FINDINGS: Mild edema.\n\nStable appearance overall.")
+    cap = emc("s99999999", "chest exam\n FINDINGS: Mild edema.\n\nStable appearance overall.")
     assert cap.count("Stable appearance overall.") == 1 and "IMPRESSION" not in cap
     # custom [0,0] index override -> empty-body IMPRESSION
     r2 = df[df.study_id == 58235663].iloc[0]
     assert r2.sentence.strip() == "IMPRESSION:"
     # ints match the certainty x label vocabulary positions
-    assert extract_mimic_caption("s51966317", "INDICATION: chest pain\n\nFINDINGS: x\n").startswith("IMPRESSION: \nchest pain")
+    assert extract_mimic_caption("s51966317", "history\n INDICATION: chest pain\n\n FINDINGS: x\n").startswith("IMPRESSION: \nchest pain")
+    # unindented first-line headers are NOT sections (MIT-LCP requires
+    # '\n '): a header-first stripped report falls back to full-report
+    assert "full report" in section_text("FINDINGS: at line start")
     # repeated header name: the fallback must read the PHYSICALLY last
     # section (MIT-LCP keeps sections as lists; section_parser.py:80-87),
     # not the dict entry whose first occurrence came earlier
     cap = emc(
         "s00000001",
-        "EXAMINATION: a\nTECHNIQUE: b\nEXAMINATION: c\n \nStable overall.",
+        "preamble\n EXAMINATION: a\n TECHNIQUE: b\n EXAMINATION: c\n \nStable overall.",
     )
     assert "IMPRESSION:\nStable overall." in cap
+    # empty last paragraph still emits 'IMPRESSION:\n\n' (row kept, the
+    # notebook's parse appends unconditionally when the section exists)
+    cap = emc("s00000002", "note\n EXAMINATION: a\n \n  ")
+    assert cap == "IMPRESSION:\n\n"
