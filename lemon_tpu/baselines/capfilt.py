@@ -99,7 +99,7 @@ def run_capfilt(
             # the HF BLIP processor resizes each itself (like the
             # reference feeding PIL images), and the CLIP proxy unifies
             # ragged lists on host (clip_itm_proxy)
-            images = [load_images(split, np.asarray([i]))[0] for i in idx]
+            images = load_images(split, idx, stack=False)
             p = itm_score_fn(images, [noisy_texts[i] for i in idx])
             p_match[idx[:n_valid]] = p[:n_valid]
         scores[sname] = 1.0 - p_match  # high = mismatch = likely mislabel

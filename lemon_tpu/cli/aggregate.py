@@ -112,13 +112,13 @@ def hparam_drop_table(root: Path):
                 df_run = pickle.load(f)["df"]
         except FileNotFoundError:
             continue
-        try:
-            logs = NeighborLogs.from_dataframe(df_run)
-        except KeyError:
+        if "baseline" in args or "judge" in args:
             # baseline/judge runs share the res.pkl {'df'} + done contract
-            # but carry score frames without neighbor components — skip
-            # them instead of aborting the whole crawl
+            # but carry score frames without neighbor components — skip by
+            # their args.json marker (a KeyError-based skip would also
+            # swallow genuinely corrupt run_lemon frames)
             continue
+        logs = NeighborLogs.from_dataframe(df_run)
         scores = calc_scores(logs, FIXED_FILTER_HPARAMS)
         val_mask = logs.sset == "val"
         prevalence = logs.is_mislabel[val_mask].mean()

@@ -271,7 +271,7 @@ def main(argv=None):
             split = split.subset(np.arange(min(20, len(split))))
         # per-image list (no stack): VLM processors take ragged raw sizes
         # like the reference's PIL feed; real corpora are heterogeneous
-        images = [load_images(split, np.asarray([i]))[0] for i in range(len(split))]
+        images = load_images(split, np.arange(len(split)), stack=False)
         captions = list(split.sentence)
         if args.judge == "llava":
             logs = run_llava_judge(

@@ -133,8 +133,8 @@ class BatchStream:
         size = self.image_size
         if self.augment:
             crops = []
-            for slot, i in enumerate(idx):
-                raw = load_images(self.split, np.asarray([i]))[0]
+            raws = load_images(self.split, idx, stack=False)
+            for slot, raw in enumerate(raws):
                 rng = np.random.default_rng(
                     np.random.SeedSequence([self.seed, self._step, slot])
                 )

@@ -133,7 +133,7 @@ def iter_batches(split: Split, batch_size: int, pad: bool = True) -> Iterator[Tu
         yield idx, n_valid
 
 
-def load_images(split: Split, idx: np.ndarray, decode_size: Optional[int] = None) -> np.ndarray:
+def load_images(split: Split, idx: np.ndarray, decode_size: Optional[int] = None, stack: bool = True):
     """Materialize a batch of uint8 HWC images (decode from disk in paths
     mode — the only remaining host-side work).
 
@@ -146,15 +146,23 @@ def load_images(split: Split, idx: np.ndarray, decode_size: Optional[int] = None
     uint8; the device preprocess then degenerates to an identity resize +
     normalize, so the end-to-end pixel math equals the reference's.
     Uniform batches stack raw regardless (the on-device resize path,
-    byte-parity-tested vs PIL, stays the fast path)."""
+    byte-parity-tested vs PIL, stays the fast path).
+
+    ``stack=False`` returns a LIST of raw per-image arrays (original
+    sizes, no unification) — for consumers whose downstream processor
+    resizes each image itself (HF VLM/ITM processors, like the reference
+    feeding PIL images)."""
     if split.images is not None:
-        return split.images[idx]
+        batch = split.images[idx]
+        return list(batch) if not stack else batch
     from PIL import Image
 
     out = []
     for i in idx:
         with Image.open(split.paths[i]) as img:
             out.append(np.asarray(img.convert("RGB"), np.uint8))
+    if not stack:
+        return out
     shapes = {a.shape for a in out}
     if len(shapes) > 1:
         if decode_size is None:

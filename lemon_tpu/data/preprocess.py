@@ -80,17 +80,20 @@ def section_text(report: str) -> Dict[str, str]:
     }
 
 
-def extract_report_caption(report: str) -> str:
-    """FINDINGS + IMPRESSION caption (preprocess_mimiccxr.ipynb 'parse'):
-    empty string when neither section exists (those rows are dropped by the
-    dataset loader, lib/datasets/utils.py:293)."""
-    sections = section_text(report)
+def _caption_from_sections(sections: Dict[str, str]) -> str:
     out = ""
     if sections.get("findings"):
         out += "FINDINGS:\n" + sections["findings"] + "\n\n"
     if sections.get("impression"):
         out += "IMPRESSION:\n" + sections["impression"] + "\n"
     return out
+
+
+def extract_report_caption(report: str) -> str:
+    """FINDINGS + IMPRESSION caption (preprocess_mimiccxr.ipynb 'parse'):
+    empty string when neither section exists (those rows are dropped by the
+    dataset loader, lib/datasets/utils.py:293)."""
+    return _caption_from_sections(section_text(report))
 
 
 _FALLBACK_STOPWORDS = {
@@ -418,17 +421,23 @@ def extract_mimic_caption(study_id: str, report: str) -> str:
     if study_id in _MIMIC_CUSTOM_INDICES:
         i0, i1 = _MIMIC_CUSTOM_INDICES[study_id]
         return "IMPRESSION: \n" + report[i0:i1] + "\n"
-    sections = section_text(report)
+    # ONE parse feeds the custom-name lookup, the findings/impression
+    # assembly, and the last-paragraph fallback (a ~227k-report corpus
+    # build regex-scans each report once, not three times).
+    pairs = section_text_list(report)
+    sections = {
+        name: (body if name in ("preamble", "full report") else body.strip())
+        for name, body in pairs
+    }
     if study_id in _MIMIC_CUSTOM_NAMES:
         return "IMPRESSION: \n" + sections.get(_MIMIC_CUSTOM_NAMES[study_id], "").strip() + "\n"
-    out = extract_report_caption(report)
+    out = _caption_from_sections(sections)
     if not sections.get("findings") and not sections.get("impression"):
         # MIT-LCP's 'last_paragraph' (section_parser.py:80-87): ONLY when
         # neither findings nor impression parsed — the tail of the
         # PHYSICALLY last section (raw span, list order — a repeated
         # header name must not alias it to an earlier section) after the
         # first '\n \n' separator; absent otherwise.
-        pairs = section_text_list(report)
         last = pairs[-1][1] if pairs else ""
         if "\n \n" in last:
             lp = "\n \n".join(last.split("\n \n")[1:]).strip()

@@ -140,6 +140,7 @@ def train_captioner(
     es = EarlyStopping(patience=cfg.es_patience, mode="min")
     es.seed(np.inf, params)  # any real val loss beats the placeholder
     t0 = time.time()
+    losses = []  # stays empty for epochs=0 (score/generate from the init)
     for epoch in range(cfg.epochs):
         order = rng.permutation(len(train))
         losses = []

@@ -292,6 +292,14 @@ def train_loop(
         state = writer.restore(state)
         start_step = writer.latest_step() + 1
         print(f"resumed from step {writer.latest_step()}")
+    if start_step >= train_cfg.total_steps:
+        # resuming a finished run is a no-op — without this clamp the loop
+        # would train one extra step past total_steps and mutate the
+        # checkpoint dir on every rerun
+        print(f"already trained to step {start_step - 1} (total_steps={train_cfg.total_steps})")
+        if writer is not None:
+            writer.close()
+        return state
     last_step = start_step - 1
     last_saved = None
     try:
@@ -307,12 +315,15 @@ def train_loop(
         for step_idx, batch in batches:
             if step_idx < start_step:
                 continue
-            last_step = step_idx
             pixels = jnp.asarray(batch["pixels"])
             tokens = jnp.asarray(batch["tokens"])
             if mesh is not None:
                 pixels, tokens = shard_train_batch(mesh, pixels, tokens)
             state, loss = step_fn(state, pixels, tokens)
+            # only AFTER the step completes: an exception mid-step must
+            # not let the finally-save label the pre-step state as
+            # step_idx (a resume would then skip this batch)
+            last_step = step_idx
             if step_idx % log_every == 0:
                 print(f"step {step_idx}: loss {float(loss):.4f}")
             if writer is not None and step_idx > 0 and step_idx % train_cfg.save_interval == 0:
@@ -321,12 +332,18 @@ def train_loop(
             if step_idx + 1 >= train_cfg.total_steps:
                 break
     finally:
-        # Always persist the FINAL state: the interval save misses the
-        # last steps (and short/debug runs entirely), and the reference
-        # writes checkpoint_{batch_ct}.pt at the end of training
-        # (train_clip_from_scratch.py:182-187).
+        # Always persist the FINAL completed state: the interval save
+        # misses the last steps (and short/debug runs entirely), and the
+        # reference writes checkpoint_{batch_ct}.pt at the end of
+        # training (train_clip_from_scratch.py:182-187). Best-effort on
+        # the exception path — a failed save (e.g. donated buffers after
+        # an aborted dispatch) must not mask the original error or skip
+        # draining pending async interval saves.
         if writer is not None:
-            if last_step >= 0 and last_saved != last_step:
-                writer.save(last_step, state)
+            if last_step >= start_step and last_saved != last_step:
+                try:
+                    writer.save(last_step, state)
+                except Exception as e:  # pragma: no cover - abort-path race
+                    print(f"[lemon_tpu] WARNING: final checkpoint save failed: {e}")
             writer.close()
     return state

@@ -145,6 +145,25 @@ def test_tp_mesh_step_matches_single_device():
     assert worst < 1e-4, worst
 
 
+def test_batch_stream_skip_matches_consumed(tmp_path):
+    """BatchStream.skip(n) must put the stream in exactly the state of
+    having consumed n batches — same shuffle order AND same per-sample
+    RandomResizedCrop draws — so a resumed run trains on identical data."""
+    from lemon_tpu.cli.train_clip import batch_iterator
+    from lemon_tpu.data.datasets import synthetic_captioning
+
+    train, _, _ = synthetic_captioning(60, data_seed=0, noise_level=0.0)
+    a = batch_iterator(train, 16, batch_size=8, image_size=32, seed=3)
+    b = batch_iterator(train, 16, batch_size=8, image_size=32, seed=3)
+    for _ in range(5):
+        next(a)
+    b.skip(5)
+    for _ in range(3):
+        ba, bb = next(a), next(b)
+        np.testing.assert_array_equal(ba["pixels"], bb["pixels"])
+        np.testing.assert_array_equal(ba["tokens"], bb["tokens"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     cfg = ClipConfig.tiny()
