@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "cifar10", "cifar100", "flickr30k", "mscoco", "mimiccxr_caption", "mmimdb",
             "cifar10_full", "cifar100_full", "mini_imagenet", "stanford_cars", "cc3m",
-            "synthetic", "synthetic_caption",
+            # beyond the reference's list: synthetic fixtures and the
+            # disk-shard-backed streaming variant (bounded host memory at
+            # 100k+ pairs; data/streaming.py)
+            "synthetic", "synthetic_caption", "synthetic_caption_stream",
         ],
     )
     p.add_argument("--noise_type", type=str, default="real",

@@ -277,13 +277,30 @@ def build_neighbor_logs(
 
         with timer.phase("components"):
             fn = _components_cosine if cfg.dist_type == "cosine" else _components_euclidean
+            # Chunk over rows: the two (N, k, D) neighbor gathers are the
+            # peak-HBM tensors of the whole pipeline (~17 GB for an 80k
+            # split at k=51, D=512 — beyond one chip); 16384-row chunks
+            # bound them at ~1.7 GB each while keeping the dispatches
+            # large. Results are per-row independent, so chunking is
+            # exact; static chunk shape = one compile (+ one for the
+            # remainder chunk).
+            chunk = 16384
+            txt_tr_dev = jnp.asarray(txt_tr)
+            img_tr_dev = jnp.asarray(img_tr)
+            dists_tr_dev = jnp.asarray(dists_tr)
+            parts = []
+            for start in range(0, len(img), chunk):
+                sl = slice(start, start + chunk)
+                In_c = jnp.asarray(I_n[sl])
+                Im_c = jnp.asarray(I_m[sl])
+                parts.append(fn(
+                    jnp.asarray(img[sl]), jnp.asarray(txt[sl]),
+                    txt_tr_dev[In_c], img_tr_dev[Im_c],
+                    dists_tr_dev[In_c], dists_tr_dev[Im_c],
+                ))
             d1, dists_n, dists_m, dtr_n, dtr_m = [
-                np.asarray(a)
-                for a in fn(
-                    jnp.asarray(img), jnp.asarray(txt),
-                    jnp.asarray(txt_tr)[jnp.asarray(I_n)], jnp.asarray(img_tr)[jnp.asarray(I_m)],
-                    jnp.asarray(dists_tr)[jnp.asarray(I_n)], jnp.asarray(dists_tr)[jnp.asarray(I_m)],
-                )
+                np.concatenate([np.asarray(p[j]) for p in parts]) if len(parts) > 1 else np.asarray(parts[0][j])
+                for j in range(5)
             ]
 
         if cfg.use_discrete_for_text:
