@@ -152,7 +152,7 @@ def main(argv=None):
             "knn_pairs_per_sec": round(knn_rate, 0),
             "knn_pairs_per_sec_per_chip": round(knn_rate / width, 0),
             "train_pairs_per_sec_dp": round(train_dp, 1),
-            "train_pairs_per_sec_dp_tp2": round(train_tp, 1) if train_tp else None,
+            "train_pairs_per_sec_dp_tp2": round(train_tp, 1) if train_tp is not None else None,
         }), flush=True)
 
 

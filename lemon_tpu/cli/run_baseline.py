@@ -59,13 +59,14 @@ def main(argv=None):
     # but several run_lemon-only flags have no baseline semantics. Refuse
     # non-default values loudly rather than letting args.json record
     # options that silently did nothing.
-    unsupported = {
-        "normalize_d1": False, "ablation": "none", "use_discrete_for_text": False,
-        "real_dataset": False, "subset_val_set": -1, "mesh": None,
-        "embedding_cache": None, "skip_hparam_optim": False,
-        "strict_hparam_parity": False,
-    }
-    for flag, default in unsupported.items():
+    unsupported = (
+        "normalize_d1", "ablation", "use_discrete_for_text", "real_dataset",
+        "subset_val_set", "mesh", "embedding_cache", "skip_hparam_optim",
+        "strict_hparam_parity",
+    )
+    parser = build_parser()
+    for flag in unsupported:
+        default = parser.get_default(flag)  # stays in sync with run_lemon's parser
         if getattr(args, flag, default) != default:
             raise SystemExit(f"--{flag} is a run_lemon flag with no effect on baselines; remove it")
 

@@ -97,6 +97,8 @@ def knn_label_distribution(
 
     labels = np.asarray(labels)
     f = np.asarray(features, np.float32)
+    if not 3 <= k <= len(f):
+        raise ValueError(f"k={k} must be in [3, n_rows={len(f)}] (self-distance extrapolation needs 3 neighbors)")
     f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-30)
     index = ExactKnnIndex(metric="ip")
     index.add(f)
@@ -107,8 +109,11 @@ def knn_label_distribution(
     vals[:, 0] = 2.0 * vals[:, 1] - vals[:, 2]
     weights = (1.0 - min_similarity - vals).astype(np.float32)  # (N, k)
     n = len(f)
-    votes = np.zeros((n, n_classes), np.float32)
-    np.add.at(votes, (np.repeat(np.arange(n), k), labels[idx].ravel()), weights.ravel())
+    # bincount scatter over flat (row, class) indices: one vectorized pass,
+    # unlike np.add.at's unbuffered per-element loop (O(N*k) scalar adds).
+    flat = np.arange(n).repeat(k) * n_classes + labels[idx].ravel()
+    votes = np.bincount(flat, weights=weights.ravel().astype(np.float64),
+                        minlength=n * n_classes).reshape(n, n_classes).astype(np.float32)
     if norm == "l2":
         denom = np.linalg.norm(votes, axis=1, keepdims=True)
     elif norm == "l1":

@@ -333,9 +333,11 @@ def train_loop(
                 break
     finally:
         # Always persist the FINAL completed state: the interval save
-        # misses the last steps (and short/debug runs entirely), and the
-        # reference writes checkpoint_{batch_ct}.pt at the end of
-        # training (train_clip_from_scratch.py:182-187). Best-effort on
+        # misses the last steps (and short/debug runs entirely). This is
+        # a deliberate improvement over the reference, which only saves
+        # when batch_ct % save_interval == 0 inside the loop
+        # (train_clip_from_scratch.py:182-187) and can end training with
+        # an unsaved tail. Best-effort on
         # the exception path — a failed save (e.g. donated buffers after
         # an aborted dispatch) must not mask the original error or skip
         # draining pending async interval saves.
