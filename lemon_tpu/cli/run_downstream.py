@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--freeze_backbone", action="store_true")
     p.add_argument("--lora", action="store_true", help="captioning: train LoRA adapters only")
+    p.add_argument("--blip2_checkpoint", default=None,
+                   help="captioning: local HF Blip2ForConditionalGeneration dir — fine-tune from "
+                        "converted pretrained weights (downstream_captioning.py:216-224)")
     p.add_argument("--captioner_arch", default="git", choices=["git", "blip2"],
                    help="captioning: GIT-style prefix model or BLIP-2-faithful Q-Former")
     p.add_argument("--seed", type=int, default=0)
@@ -110,8 +113,11 @@ def main(argv=None):
             "(train on cifar10, evaluate on the corrupted test set)"
         )
 
+    # per-task default: captioning needs a caption-bearing dataset, the
+    # classification default split has no sentences
+    default_ds = "synthetic_caption" if args.task == "captioning" else "synthetic"
     splits = dict(zip(("train", "val", "test"), get_dataset(
-        args.dataset or "synthetic", args.data_seed, noise_level=args.noise_level,
+        args.dataset or default_ds, args.data_seed, noise_level=args.noise_level,
         noise_type=args.noise_type, synthetic_n=args.synthetic_n,
         corruption_name=args.cifar10_corruption_name,
     )))
@@ -141,15 +147,26 @@ def main(argv=None):
         from lemon_tpu.models.qformer import QFormerConfig
         from lemon_tpu.train.captioning import CaptionTrainConfig, train_captioner
 
-        cfg_cls = QFormerConfig if args.captioner_arch == "blip2" else CaptionerConfig
-        mc = cfg_cls.tiny() if args.model_size == "tiny" else cfg_cls.base()
-        if args.lora:
-            import dataclasses
+        if args.blip2_checkpoint:
+            from transformers import Blip2Config as HfBlip2Config
 
-            mc = dataclasses.replace(mc, lora_rank=16)
+            from lemon_tpu.models.blip2 import blip2_config_from_hf
+
+            mc = blip2_config_from_hf(
+                HfBlip2Config.from_pretrained(args.blip2_checkpoint),
+                lora_rank=16 if args.lora else 0,
+            )
+        else:
+            cfg_cls = QFormerConfig if args.captioner_arch == "blip2" else CaptionerConfig
+            mc = cfg_cls.tiny() if args.model_size == "tiny" else cfg_cls.base()
+            if args.lora:
+                import dataclasses
+
+                mc = dataclasses.replace(mc, lora_rank=16)
         cfg = CaptionTrainConfig(
             percentile=args.percentile, epochs=args.epochs, batch_size=args.batch_size,
             learning_rate=args.lr, seed=args.seed, lora_only=args.lora, model_cfg=mc,
+            blip2_checkpoint=args.blip2_checkpoint,
         )
         results = train_captioner(cfg, splits, detector_scores=scores, out_dir=out_dir)
         print(f"best val loss {results['val_loss_best']:.4f}")

@@ -65,6 +65,11 @@ class CaptionerConfig:
     max_text_len: int = 32
     vocab_size: int = 49408
     lora_rank: int = 0  # applied to decoder attention QKV
+    # token ids used by per_sample_loss/generation defaults (the CLIP-BPE
+    # captioners pad with 0; OPT-based BLIP-2 pads with 1, BOS/EOS 2)
+    pad_token_id: int = 0
+    bos_token_id: int = 0
+    eos_token_id: int = 0
 
     @property
     def n_image_tokens(self) -> int:
@@ -170,9 +175,11 @@ class CaptioningModel(nn.Module):
         prefix = self.encode_image_prefix(pixels)
         return self._decode(prefix, text_tokens)
 
-    def per_sample_loss(self, pixels, text_tokens, pad_id: int = 0):
+    def per_sample_loss(self, pixels, text_tokens, pad_id: Optional[int] = None):
         """Shifted LM loss per example (downstream_captioning.py:51-79):
         predict token t+1 from tokens <= t; padding positions masked out."""
+        if pad_id is None:
+            pad_id = self.cfg.pad_token_id
         logits = self(pixels, text_tokens)
         targets = text_tokens[:, 1:]
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
@@ -215,12 +222,21 @@ class CaptioningModel(nn.Module):
 
 
 def init_captioner(cfg: CaptionerConfig, seed: int = 0):
-    """Build the captioner matching the config type: a ``QFormerConfig``
-    selects the BLIP-2-faithful architecture (models/qformer.py), a plain
-    ``CaptionerConfig`` the GIT-style prefix model."""
+    """Build the captioner matching the config type: a ``Blip2Config``
+    selects the HF-exact convertible architecture (models/blip2.py), a
+    ``QFormerConfig`` the from-scratch BLIP-2-faithful one
+    (models/qformer.py), a plain ``CaptionerConfig`` the GIT-style prefix
+    model."""
+    from lemon_tpu.models.blip2 import Blip2Captioner, Blip2Config
     from lemon_tpu.models.qformer import QFormerCaptioner, QFormerConfig
 
-    model = (QFormerCaptioner if isinstance(cfg, QFormerConfig) else CaptioningModel)(cfg)
+    if isinstance(cfg, Blip2Config):
+        cls = Blip2Captioner
+    elif isinstance(cfg, QFormerConfig):
+        cls = QFormerCaptioner
+    else:
+        cls = CaptioningModel
+    model = cls(cfg)
     pixels = jnp.zeros((1, cfg.vision.image_resolution, cfg.vision.image_resolution, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.max_text_len), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), pixels, tokens)

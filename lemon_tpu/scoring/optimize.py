@@ -121,24 +121,15 @@ def _objective(x, logs: NeighborLogs, y, obj_func: Callable, obj_args: dict, for
     return -obj_func(y, score, **obj_args)
 
 
-@jax.jit
-def _proxy_val_grad(x, arrays, y_signed, fz, fo):
-    """Module-level jit: one compile serves all L-BFGS restarts and calls
-    (a per-call ``jax.jit(lambda ...)`` recompiled the identical program
-    once per x0 — measured ~5 s each through the remote-TPU tunnel)."""
-    return jax.value_and_grad(soft_margin_proxy_loss)(x, arrays, y_signed, fz, fo)
-
-
 @functools.partial(jax.jit, static_argnames=("maxiter",))
 def _proxy_lbfgs_device_batch(x0s, arrays, y_signed, fz, fo, maxiter=100):
     """All proxy restarts as ONE device program: optax L-BFGS (zoom
     linesearch) unrolled under lax.scan and vmapped over the x0 batch.
 
-    The scipy path (:func:`_proxy_lbfgs`) drives the device from the host
-    — ~100 gradient round-trips per restart, which through the remote-TPU
-    tunnel is seconds of pure latency. This variant returns every
-    restart's solution with a single dispatch. The optimizer trajectory
-    differs from scipy's L-BFGS-B; the proxy's role is one warm-start
+    The host path (:func:`_proxy_lbfgs`) iterates torch LBFGS on the host
+    — hundreds of closure evaluations per restart. This variant returns
+    every restart's solution with a single dispatch. The optimizer
+    trajectory differs from torch's; the proxy's role is one warm-start
     candidate in the ensemble (best-by-objective wins), so only candidate
     quality matters — the strict parity mode keeps the host path.
     """
@@ -186,15 +177,59 @@ def _proxy_arrays(logs: NeighborLogs, y: np.ndarray, force_zero, force_one):
 
 
 def _proxy_lbfgs(logs: NeighborLogs, y: np.ndarray, x0, force_zero, force_one) -> np.ndarray:
-    """Minimize the SoftMarginLoss proxy with JAX autodiff + L-BFGS-B
-    (replaces torch LBFGS, lib/metrics/utils.py:129-141)."""
-    arrays, y_signed, fz, fo = _proxy_arrays(logs, y, force_zero, force_one)
-    def f(x):
-        v, g = _proxy_val_grad(jnp.asarray(x, arrays[0].dtype), arrays, y_signed, fz, fo)
-        return float(v), np.asarray(g, np.float64)
+    """Strict-parity proxy stage: torch LBFGS with the reference's exact
+    configuration — lr=0.1, max_iter=20, strong_wolfe line search, the
+    step() loop itself run max_iter times (torch_minimize,
+    lib/metrics/utils.py:129-141) — on a torch rebuild of the
+    SoftMarginLoss proxy (optim_func_torch, lib/metrics/utils.py:124-127).
 
-    res = minimize(f, np.asarray(x0, np.float64), jac=True, method="L-BFGS-B", options={"maxiter": 100})
-    return res.x
+    Host torch is fine here: this path only runs under
+    ``--strict_hparam_parity`` (the same mode that keeps scipy's grid on
+    host), where reproducing the reference's optimizer TRAJECTORY matters
+    more than dispatch count. The fast path is the batched device L-BFGS
+    (:func:`_proxy_lbfgs_device_batch`). A scipy L-BFGS-B stand-in was
+    tried first; its trajectory (and therefore the candidate it feeds the
+    ensemble) differs from torch LBFGS, which defeats the mode's purpose.
+    """
+    import torch
+
+    k = logs.dists_n.shape[1]
+    # dtype mirror of the reference's torch path (torch_arr branch,
+    # lib/metrics/utils.py:48-62): d_1 is a float64 pandas scalar column
+    # (d1.item() at run_lemon.py:301), the neighbor matrices float32; the
+    # 0-d float64 hparam views demote in torch promotion so the weighted
+    # sums run in float32, then the d_1 addition upcasts to float64.
+    d1 = torch.tensor(np.asarray(logs.d_1, np.float64))
+    dists_n, D_n, dtr_n = (torch.tensor(a) for a in (logs.dists_n, logs.D_n, logs.dists_tr_n))
+    dists_m, D_m, dtr_m = (torch.tensor(a) for a in (logs.dists_m, logs.D_m, logs.dists_tr_m))
+    y_signed = torch.from_numpy(np.asarray(y)).double() * 2 - 1
+    fz = [i for i, name in enumerate(HPARAM_ORDER) if name in force_zero]
+    fo = [i for i, name in enumerate(HPARAM_ORDER) if name in force_one]
+
+    x = torch.tensor(np.asarray(x0, np.float64), dtype=torch.float64, requires_grad=True)
+    optimizer = torch.optim.LBFGS([x], lr=0.1, max_iter=20, line_search_fn="strong_wolfe")
+
+    def loss_fn():
+        h = list(x)
+        for i in fz:
+            h[i] = torch.zeros(())
+        for i in fo:
+            h[i] = torch.ones(())
+        beta, gamma, t1n, t2n, t1m, t2m = h
+        wn = torch.exp(-t1n * D_n) * torch.exp(-t2n * dtr_n)
+        wm = torch.exp(-t1m * D_m) * torch.exp(-t2m * dtr_m)
+        score = d1 + beta * torch.sum(wn * dists_n, dim=1) / k + gamma * torch.sum(wm * dists_m, dim=1) / k
+        return torch.nn.SoftMarginLoss()(score, y_signed)
+
+    def closure():
+        optimizer.zero_grad()
+        loss = loss_fn()
+        loss.backward()
+        return loss
+
+    for _ in range(20):
+        optimizer.step(closure)
+    return x.detach().numpy()
 
 
 def maximize_metric(

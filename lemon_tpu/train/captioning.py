@@ -45,16 +45,57 @@ class CaptionTrainConfig:
     seed: int = 0
     lora_only: bool = False
     model_cfg: CaptionerConfig = dataclasses.field(default_factory=CaptionerConfig.tiny)
+    # Local HF Blip2ForConditionalGeneration checkpoint dir: fine-tune from
+    # converted pretrained weights (models/blip2.load_blip2) instead of
+    # random init — the reference's mode (downstream_captioning.py:216-224).
+    blip2_checkpoint: Optional[str] = None
 
 
-def _tokenize_captions(texts, cfg: CaptionerConfig):
-    """Captions tokenized to the decoder's max_text_len; ids clipped into
-    the (possibly reduced) captioner vocabulary for the tiny test config."""
+def _tokenize_captions(texts, cfg: CaptionerConfig, blip2_checkpoint: Optional[str] = None):
+    """Captions tokenized to the decoder's max_text_len.
+
+    BLIP-2 configs tokenize with the checkpoint's own HF tokenizer when the
+    checkpoint dir ships one (the reference's text_processor,
+    downstream_captioning.py:324-332); otherwise (tiny architecturally-real
+    test checkpoints carry no tokenizer files) a deterministic word-hash
+    stand-in with the config's BOS/PAD ids. CLIP-BPE configs keep the
+    round-1 behavior: CLIP tokenization, ids clipped into reduced test
+    vocabularies."""
+    from lemon_tpu.models.blip2 import Blip2Config
+
+    if isinstance(cfg, Blip2Config):
+        toks = np.full((len(texts), cfg.max_text_len), cfg.pad_token_id, np.int32)
+        toks[:, 0] = cfg.bos_token_id
+        tok = _hf_tokenizer(blip2_checkpoint)
+        if tok is not None:
+            enc = tok(list(texts), truncation=True, padding="max_length",
+                      max_length=cfg.max_text_len, return_tensors="np")
+            return enc["input_ids"].astype(np.int32)
+        import zlib  # crc32: stable across processes, unlike salted hash()
+
+        reserved = max(cfg.pad_token_id, cfg.bos_token_id, cfg.eos_token_id) + 1
+        for r, text in enumerate(texts):
+            words = str(text).split()[: cfg.max_text_len - 1]
+            for c, w in enumerate(words):
+                toks[r, c + 1] = reserved + (zlib.crc32(w.encode()) % (cfg.vocab_size - reserved))
+        return toks
     toks = tokenize_batch(list(texts), cfg.max_text_len)
     if cfg.vocab_size < 49408:
         tok = get_tokenizer()
         toks = np.where(toks == tok.sot_id, cfg.vocab_size - 2, np.where(toks == tok.eot_id, cfg.vocab_size - 1, toks % (cfg.vocab_size - 2)))
     return toks.astype(np.int32)
+
+
+def _hf_tokenizer(checkpoint_dir: Optional[str]):
+    if not checkpoint_dir:
+        return None
+    from pathlib import Path as _P
+
+    if not any((_P(checkpoint_dir) / f).exists() for f in ("tokenizer.json", "tokenizer_config.json", "vocab.json")):
+        return None
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(checkpoint_dir)
 
 
 def filter_caption_split(split: CaptioningSplit, scores: np.ndarray, percentile: float) -> CaptioningSplit:
@@ -77,7 +118,7 @@ def per_sample_caption_losses(model: CaptioningModel, params, split: CaptioningS
     out = np.zeros(len(split), np.float64)
     for idx, n_valid in iter_batches(split, cfg.batch_size):
         pixels = preprocess_device(load_images(split, idx, decode_size=mc.vision.image_resolution), size=mc.vision.image_resolution)
-        tokens = jnp.asarray(_tokenize_captions(split.sentence[idx], mc))
+        tokens = jnp.asarray(_tokenize_captions(split.sentence[idx], mc, cfg.blip2_checkpoint))
         out[idx[:n_valid]] = np.asarray(losses(params, pixels, tokens))[:n_valid]
     return out
 
@@ -95,7 +136,16 @@ def train_captioner(
         print(f"filter: kept {len(kept)}/{len(train)} captions")
         train = kept
 
-    model, params = init_captioner(mc, cfg.seed)
+    if cfg.blip2_checkpoint is not None:
+        from lemon_tpu.models.blip2 import Blip2Config, load_blip2
+
+        assert isinstance(mc, Blip2Config), "--blip2_checkpoint requires a Blip2Config model_cfg"
+        model, params, loaded_cfg = load_blip2(
+            cfg.blip2_checkpoint, lora_rank=mc.lora_rank, max_text_len=mc.max_text_len, seed=cfg.seed
+        )
+        assert loaded_cfg == mc, "model_cfg disagrees with the checkpoint's architecture"
+    else:
+        model, params = init_captioner(mc, cfg.seed)
     steps_per_epoch = max(len(train) // cfg.batch_size, 1)
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, cfg.learning_rate,
@@ -155,7 +205,7 @@ def train_captioner(
             if n_valid < cfg.batch_size:
                 idx = np.concatenate([idx, np.resize(order, cfg.batch_size - n_valid)])
             pixels = preprocess_device(load_images(train, idx, decode_size=mc.vision.image_resolution), size=mc.vision.image_resolution)
-            tokens = jnp.asarray(_tokenize_captions(train.sentence[idx], mc))
+            tokens = jnp.asarray(_tokenize_captions(train.sentence[idx], mc, cfg.blip2_checkpoint))
             mask = jnp.arange(cfg.batch_size) < n_valid
             params, opt_state, loss = train_step(params, opt_state, pixels, tokens, mask)
             losses.append(float(loss))
@@ -169,9 +219,20 @@ def train_captioner(
     runtime = time.time() - t0
 
     # generate test captions
-    tok = get_tokenizer()
-    bos = mc.vocab_size - 2 if mc.vocab_size < 49408 else tok.sot_id
-    eot = mc.vocab_size - 1 if mc.vocab_size < 49408 else tok.eot_id
+    from lemon_tpu.models.blip2 import Blip2Config
+
+    if isinstance(mc, Blip2Config):
+        bos, eot, pad = mc.bos_token_id, mc.eos_token_id, mc.pad_token_id
+        hf_tok = _hf_tokenizer(cfg.blip2_checkpoint)
+        decode = (lambda ids: hf_tok.decode(ids).strip()) if hf_tok is not None else (
+            lambda ids: " ".join(map(str, ids)))
+    else:
+        tok = get_tokenizer()
+        bos = mc.vocab_size - 2 if mc.vocab_size < 49408 else tok.sot_id
+        eot = mc.vocab_size - 1 if mc.vocab_size < 49408 else tok.eot_id
+        pad = 0
+        decode = (lambda ids: tok.decode(ids).strip()) if mc.vocab_size >= 49408 else (
+            lambda ids: " ".join(map(str, ids)))
 
     @jax.jit
     def gen(params, pixels):
@@ -183,8 +244,8 @@ def train_captioner(
         pixels = preprocess_device(load_images(test, idx, decode_size=mc.vision.image_resolution), size=mc.vision.image_resolution)
         toks = np.asarray(gen(best_params, pixels))[:n_valid]
         for row in toks:
-            ids = [int(t) for t in row[1:] if t not in (0, bos, eot)]
-            generated.append(tok.decode(ids).strip() if mc.vocab_size >= 49408 else " ".join(map(str, ids)))
+            ids = [int(t) for t in row[1:] if t not in (0, pad, bos, eot)]
+            generated.append(decode(ids))
 
     results = {
         "val_loss_best": best_val,
