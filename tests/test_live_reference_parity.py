@@ -56,8 +56,16 @@ def parity_fixtures(tmp_path_factory):
     # batch-divisible splits (512/64/64) for the npy-contract baselines:
     # the reference's np.array(all_label_flips) needs equal-length batches
     cifar640 = build_cifar_fixture(base / "cifar640" / "data", n_train=640)
+    # cifar_asym runs on its own larger, better-conditioned fixture: 200-row
+    # val/test splits give AUROC granularity ~1e-4 (the 600-row fixture's
+    # bar equaled ONE rank inversion and a scipy plateau tie sat on it), and
+    # fixture seed 14 keeps the reference's own unguarded torch-LBFGS stage
+    # from diverging to NaN (seeds 11/13 crash its fminbound). Provenance in
+    # goldens.json _provenance.cifar_asym_regenerated.
+    cifar_asym = build_cifar_fixture(base / "cifar_asym" / "data", n_train=2000, seed=14)
     return {"ckpt": ck, "caption": caption, "cifar_root": cifar, "cifar_fixture": base / "cifar",
-            "cifar640_root": cifar640, "cifar640_fixture": base / "cifar640"}
+            "cifar640_root": cifar640, "cifar640_fixture": base / "cifar640",
+            "cifar_asym_root": cifar_asym}
 
 
 def _run_lemon_tpu(out_dir, golden_key, extra_env, monkeypatch):
@@ -142,13 +150,17 @@ def test_extended_config_parity_vs_live_reference_golden(parity_fixtures, tmp_pa
     --use_discrete_for_text discrete text metric — each golden-pinned
     from a live reference run.
 
-    On these tiny fixtures the scipy hparam search lands on plateau ties
+    On tiny fixtures the scipy hparam search can land on plateau ties
     (identical selected_val, different argmax — float-level objective
     noise picks a different equal-F1 optimum), so per-sample scores can
-    shift while rankings agree. Assertions therefore split into:
+    shift while rankings agree. cifar_asym therefore runs on a larger
+    conditioned fixture (see parity_fixtures) where the selection is
+    noise-invariant; with the strict-mode torch-LBFGS proxy port the
+    measured own-hparam diffs are 0.0 on six of seven configs and 9.9e-4
+    (caption_cat val) on the seventh. Assertions:
     - split assembly bit-exact (dataset + noise-stream parity),
     - detection quality: rank correlation >= 0.997 per split and own-AUROC
-      within 2.5e-3 of the golden,
+      within the SURVEY §6 acceptance bar, 1e-3,
     - the tie-break-immune CONTROL: scoring lemon_tpu's neighbor
       components at the REFERENCE's selected hparams must reproduce the
       reference AUROC within 1e-3 (measured exact to 6 decimals)."""
@@ -163,7 +175,8 @@ def test_extended_config_parity_vs_live_reference_golden(parity_fixtures, tmp_pa
         env = {"LEMON_TPU_PATH_MSCOCO": parity_fixtures["caption"],
                "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]}
     else:
-        env = {"LEMON_TPU_DATA_ROOT": parity_fixtures["cifar_root"],
+        root = parity_fixtures["cifar_asym_root" if golden_key == "cifar_asym" else "cifar_root"]
+        env = {"LEMON_TPU_DATA_ROOT": root,
                "LEMON_TPU_CKPT_HUGGINGFACE_CLIP": parity_fixtures["ckpt"]["state_dict_pt"]}
     out = tmp_path / f"tpu_{golden_key}"
     agg = _run_lemon_tpu(out, golden_key, env, monkeypatch)
@@ -175,7 +188,7 @@ def test_extended_config_parity_vs_live_reference_golden(parity_fixtures, tmp_pa
     np.testing.assert_array_equal(ref["idx"].values, got["idx"].values)
     np.testing.assert_array_equal(ref["is_mislabel"].values, got["is_mislabel"].values)
     for s in ("val", "test"):
-        assert abs(float(agg[s]["AUROC"]) - golden[f"{s}_AUROC"]) <= 2.5e-3
+        assert abs(float(agg[s]["AUROC"]) - golden[f"{s}_AUROC"]) <= 1e-3
         rs = ref[ref.sset == s]["pred_score"].values
         gs = got[got.sset == s]["pred_score"].values
         rho = spearmanr(rs, gs).statistic
