@@ -59,20 +59,27 @@ def run_training_dependent(
 
     model, params = init_classifier(model_cfg, n_classes, cfg.seed)
     tx = optax.sgd(lr, momentum=momentum)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
 
     @jax.jit
-    def train_step(params, opt_state, pixels, labels, mask):
+    def train_step(variables, opt_state, pixels, labels, mask):
         def loss_fn(p):
-            logits = model.apply(p, pixels)
             # masked mean: iter_batches pads the final batch by repeating
             # rows — unmasked they would contribute extra gradient weight
-            # (the reference's DataLoader sees each sample exactly once)
-            return classification_loss(logits, labels, mask), logits
+            # (the reference's DataLoader sees each sample exactly once).
+            # BatchNorm backbones (resnet50) thread batch_stats through.
+            if "batch_stats" in variables:
+                logits, upd = model.apply(
+                    {**variables, "params": p}, pixels, train=True, mutable=["batch_stats"]
+                )
+            else:
+                logits, upd = model.apply({**variables, "params": p}, pixels, train=True), {}
+            return classification_loss(logits, labels, mask), (logits, upd)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, jax.nn.softmax(logits, -1)
+        (loss, (logits, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        new_vars = {**variables, **upd, "params": optax.apply_updates(variables["params"], updates)}
+        return new_vars, opt_state, loss, jax.nn.softmax(logits, -1)
 
     probs_by_phase = {s: [] for s in ("train", "val", "test")}
     t0 = time.time()

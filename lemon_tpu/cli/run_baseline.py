@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="", help="discrepancy: dis_y|dis_x|div_y|div_x")
     p.add_argument("--temperature", type=float, default=1.0, help="zero-shot softmax temperature")
     p.add_argument("--epochs", type=int, default=10, help="aum/datamap training epochs")
+    p.add_argument("--img_base_name", default="clip",
+                   choices=["clip", "resnet50", "vit-base-patch16-224", "resnet50_tiny", "vit_tiny"],
+                   help="aum/datamap classifier backbone (get_img_base, lib/models/utils.py:49-61); "
+                        "*_tiny are test-scale variants")
     p.add_argument("--itm_checkpoint", default=None,
                    help="capfilt: local BLIP-ITM checkpoint dir (falls back to the CLIP proxy head)")
     return p
@@ -94,7 +98,16 @@ def main(argv=None):
         from lemon_tpu.baselines.training_dependent import run_training_dependent
 
         cfg.method = args.baseline  # 'aum' | 'datamap'
-        run_training_dependent(cfg, out_dir, epochs=args.epochs)
+        model_cfg = None  # default: our Flax CLIP tower
+        if args.img_base_name.startswith("resnet50"):
+            from lemon_tpu.models.classifier import TvResNetSpec
+
+            model_cfg = TvResNetSpec.tiny() if args.img_base_name.endswith("_tiny") else TvResNetSpec()
+        elif args.img_base_name.startswith("vit"):
+            from lemon_tpu.models.torch_backbones import GoogleViTConfig
+
+            model_cfg = GoogleViTConfig.tiny() if args.img_base_name.endswith("_tiny") else GoogleViTConfig()
+        run_training_dependent(cfg, out_dir, epochs=args.epochs, model_cfg=model_cfg)
         mark_done(out_dir)
         return
 

@@ -42,7 +42,9 @@ class DownstreamConfig:
     freeze_backbone: bool = False
     es_patience: int = 5
     seed: int = 0
-    model_cfg: ClipConfig = dataclasses.field(default_factory=ClipConfig.tiny)
+    # ClipConfig | TvResNetSpec | GoogleViTConfig — selects the backbone
+    # like get_img_base's name does (lib/models/utils.py:49-61)
+    model_cfg: object = dataclasses.field(default_factory=ClipConfig.tiny)
 
 
 def filter_split(split: ClassificationSplit, scores: np.ndarray, percentile: float) -> ClassificationSplit:
@@ -117,20 +119,30 @@ def train_downstream(
     steps_per_epoch = max(len(train) // cfg.batch_size, 1)
     schedule = optax.cosine_decay_schedule(cfg.learning_rate, cfg.epochs * steps_per_epoch)
     tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
 
     @jax.jit
-    def train_step(params, opt_state, pixels, labels, mask):
+    def train_step(variables, opt_state, pixels, labels, mask):
+        # BatchNorm backbones (TvResNetSpec) thread batch_stats through the
+        # step (torchvision train() semantics); stateless backbones see an
+        # empty aux and pass variables through
         def loss_fn(p):
-            return classification_loss(model.apply(p, pixels), labels, mask)
+            if "batch_stats" in variables:
+                logits, upd = model.apply(
+                    {**variables, "params": p}, pixels, train=True, mutable=["batch_stats"]
+                )
+            else:
+                logits, upd = model.apply({**variables, "params": p}, pixels, train=True), {}
+            return classification_loss(logits, labels, mask), upd
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        new_vars = {**variables, **upd, "params": optax.apply_updates(variables["params"], updates)}
+        return new_vars, opt_state, loss
 
     @jax.jit
-    def predict(params, pixels):
-        return jax.nn.softmax(model.apply(params, pixels), axis=-1)
+    def predict(variables, pixels):
+        return jax.nn.softmax(model.apply(variables, pixels), axis=-1)
 
     def eval_split(params, split):
         probs, pred_y = _predict_split(predict, params, split, cfg.batch_size, cfg.model_cfg.image_resolution)

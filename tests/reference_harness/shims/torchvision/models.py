@@ -1,6 +1,88 @@
-"""Placeholder for ``import torchvision.models`` (lib/models/utils.py:6);
-no symbol is used by the parity runs."""
+"""``torchvision.models`` stand-in (lib/models/utils.py:6).
+
+torchvision is not installed in this environment; ``resnet50`` here is a
+real torch implementation of the standard torchvision ResNet-50 layout
+(He et al., v1.5 variant: the stride-2 sits on each stage's 3x3 conv) with
+torchvision's exact module names (conv1/bn1/layer{1-4}.{i}.conv{1-3},
+downsample.0/1, fc), so
+
+- the reference's runnable ``training_dependent_baselines.py
+  --img_base_name resnet50`` configuration executes live in the parity
+  harness, and
+- its state_dict is the conversion oracle for
+  lemon_tpu/models/torch_backbones.py::convert_tv_resnet50.
+
+``pretrained=True`` is refused (no network here; the reference defaults to
+use_pretrained=False at lib/models/utils.py:47).
+"""
+
+import torch
+from torch import nn
 
 
-def resnet50(*a, **k):
-    raise NotImplementedError("torchvision.models shim: not needed by the parity harness")
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * self.expansion, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    def __init__(self, layers=(3, 4, 6, 3), num_classes=1000, width=64):
+        super().__init__()
+        self.inplanes = width
+        self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(width, layers[0])
+        self.layer2 = self._make_layer(width * 2, layers[1], stride=2)
+        self.layer3 = self._make_layer(width * 4, layers[2], stride=2)
+        self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(width * 8 * Bottleneck.expansion, num_classes)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * Bottleneck.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * Bottleneck.expansion, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * Bottleneck.expansion),
+            )
+        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * Bottleneck.expansion
+        for _ in range(1, blocks):
+            layers.append(Bottleneck(self.inplanes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def resnet50(pretrained=False, layers=(3, 4, 6, 3), width=64, **kwargs):
+    if pretrained:
+        raise NotImplementedError(
+            "torchvision shim: pretrained weights are unavailable offline "
+            "(the reference defaults to use_pretrained=False)")
+    return ResNet(layers=layers, width=width, **kwargs)
