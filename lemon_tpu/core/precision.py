@@ -42,6 +42,16 @@ class Precision:
     # the fp32 acceptance bar (AUROC within 0.001 of the reference,
     # SURVEY §6) requires the reference's exact numerics.
     pool_last_block: bool = False
+    # W8A8 dynamic-quantized projections (qkv/attn-out/mlp) through XLA's
+    # native int8 dot_general — measured 318-355 TOPS vs 163-202 bf16 at
+    # the ViT shapes on v5e (benchmarks/probe_pallas_int8.py, chained
+    # DCE-proof harness). Per-output-channel weight scales quantized ONCE
+    # at encoder build (models/clip.py quantize_clip_params); per-token
+    # activation scales computed on the fly. Attention core, LN, softmax
+    # and the towers' heads stay in compute_dtype. Opt-in fast mode: the
+    # quantization error is measured, not assumed (tests/test_int8.py +
+    # BENCH_NOTES AUROC drift).
+    matmul_int8: bool = False
 
     @staticmethod
     def fp32() -> "Precision":
@@ -64,6 +74,14 @@ class Precision:
         )
 
 
+    @staticmethod
+    def int8() -> "Precision":
+        """bf16 fast path + W8A8 projections (see ``matmul_int8``)."""
+        return dataclasses.replace(Precision.bf16(), matmul_int8=True)
+
+
 def default_precision() -> Precision:
     mode = os.environ.get("LEMON_TPU_PRECISION", "fp32").lower()
+    if mode == "int8":
+        return Precision.int8()
     return Precision.bf16() if mode in ("bf16", "bfloat16") else Precision.fp32()

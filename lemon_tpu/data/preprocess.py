@@ -100,6 +100,42 @@ _FALLBACK_STOPWORDS = {
     "a", "an", "the", "of", "in", "on", "at", "with", "and", "or", "is",
     "are", "was", "were", "to", "for", "by", "from", "this", "that", "it",
     "its", "his", "her", "their", "there", "some", "two", "three",
+    # Closed-class + high-frequency caption verbs/adjectives, vendored so
+    # the no-spaCy fallback approximates pos_=='NOUN' filtering. Context-
+    # ambiguous -ing forms that appear in noun compounds (cutting board,
+    # swimming pool, parking meter, living room, dining table, building)
+    # are deliberately NOT listed — precision there needs a real tagger.
+    # Measured against tests/fixtures/noun_gold.json (see
+    # test_noun_heuristic.py and the table in DATASOURCES.md).
+    # prepositions / particles / adverbs
+    "near", "next", "beside", "behind", "above", "below", "under", "over",
+    "through", "into", "onto", "toward", "towards", "across", "between",
+    "around", "down", "up", "out", "off", "during", "while", "against",
+    "along", "inside", "outside", "within", "without", "about", "after",
+    "before", "very", "also", "together", "each", "other", "another",
+    "several", "many", "few", "both", "all",
+    # auxiliaries / frequent verbs (incl. -ing/-ed caption forms)
+    "has", "have", "had", "being", "been", "does", "did", "will", "would",
+    "can", "could", "not", "sitting", "standing", "riding", "walking",
+    "running", "flying", "playing", "eating", "drinking", "holding",
+    "wearing", "looking", "watching", "getting", "going", "goes", "making",
+    "taking", "doing", "carrying", "hanging", "laying", "lying", "resting",
+    "leaning", "parked", "stopped", "filled", "covered", "topped",
+    "stacked", "displayed", "perched", "grazing", "floating", "jumping",
+    "throwing", "catching", "kicking", "swinging", "serving", "pulling",
+    "pouring", "blowing", "feeding", "preparing", "climbing", "casting",
+    "directing", "driving", "traveling", "waiting", "crossing", "spinning",
+    "rising", "talking", "reading", "fixing", "brushing", "smiling",
+    "posing", "staring", "surfing", "skiing", "using", "showing",
+    "moving", "trying", "working",
+    # adjectives / colors (orange excluded: the fruit)
+    "red", "blue", "green", "yellow", "black", "white", "brown", "gray",
+    "grey", "purple", "pink", "large", "small", "big", "little", "tall",
+    "short", "long", "wide", "narrow", "tiny", "huge", "old", "young",
+    "new", "fresh", "busy", "empty", "full", "open", "closed", "calm",
+    "cloudy", "snowy", "sunny", "rainy", "heavy", "hot", "cold", "warm",
+    "elderly", "double", "wooden", "metal", "stainless", "plastic",
+    "dirty", "clean", "beautiful", "colorful",
 }
 
 

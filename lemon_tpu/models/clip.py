@@ -246,6 +246,66 @@ def ln_folded_dense(x, kernel, bias, g, beta, *, compute_dtype, epsilon=1e-5):
     return z.astype(compute_dtype)
 
 
+class QuantDense(nn.Module):
+    """W8A8 dynamic-quantized Dense for the int8 fast path.
+
+    Parameters are the PRE-quantized ``kernel_q`` (int8) and per-output-
+    channel ``kernel_scale`` produced once by :func:`quantize_clip_params`
+    — quantizing inside the step would re-read every weight per batch.
+    Activations quantize per token (symmetric max-abs) on the fly; the
+    int8xint8->int32 dot runs at ~1.8x the bf16 MXU rate on v5e
+    (benchmarks/probe_pallas_int8.py). The dequant epilogue applies both
+    scales and the bias in fp32, returning ``dtype``.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros, (d, self.features), jnp.int8)
+        kernel_scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, d).astype(jnp.float32)
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+        a_q = jnp.round(xf / a_scale).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            a_q, kernel_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * a_scale * kernel_scale + bias
+        return y.reshape(*lead, self.features).astype(self.dtype)
+
+
+# scope names whose nn.Dense kernels the int8 mode replaces (the four big
+# projections; LN/softmax/attention core/tower heads stay float)
+_INT8_SCOPES = ("qkv", "out", "mlp_fc", "mlp_proj")
+
+
+def quantize_clip_params(params):
+    """fp32 ClipModel params → the tree :class:`QuantDense` consumes:
+    every ``kernel`` under an _INT8_SCOPES scope becomes per-output-channel
+    symmetric ``kernel_q``/``kernel_scale``. One host pass at encoder
+    build; everything else passes through unchanged."""
+
+    def walk(tree, under_scope=False):
+        out = {}
+        for key, val in tree.items():
+            if isinstance(val, dict):
+                out[key] = walk(val, under_scope=key in _INT8_SCOPES)
+            elif key == "kernel" and under_scope:
+                w = np.asarray(val, np.float32)
+                scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+                out["kernel_q"] = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+                out["kernel_scale"] = scale.astype(np.float32)
+            else:
+                out[key] = val
+        return out
+
+    return walk(params)
+
+
 @functools.lru_cache(maxsize=32)
 def _block_diag_mask_np(pack: int, seq: int, causal: bool) -> np.ndarray:
     """(1, 1, pack*seq, pack*seq) additive mask: 0 inside each sequence's
@@ -277,6 +337,7 @@ class Attention(nn.Module):
     softmax_dtype: Any = jnp.float32
     impl: str = "xla"
     causal: bool = False
+    matmul_int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, ln=None, rows=None):
@@ -291,8 +352,11 @@ class Attention(nn.Module):
         h = self.num_heads
         hd = d // h
         if ln is not None:
+            assert not self.matmul_int8, "fold_ln and the int8 path are mutually exclusive"
             kernel, bias = DenseParams(3 * d, name="qkv")(d)
             qkv = ln_folded_dense(x, kernel, bias, *ln, compute_dtype=self.compute_dtype)
+        elif self.matmul_int8:
+            qkv = QuantDense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
         else:
             qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -323,7 +387,9 @@ class Attention(nn.Module):
             out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
         out = out.reshape(b, q.shape[1], d)
-        return nn.Dense(d, dtype=self.compute_dtype, name="out")(out)
+        proj = QuantDense(d, dtype=self.compute_dtype, name="out") if self.matmul_int8 else nn.Dense(
+            d, dtype=self.compute_dtype, name="out")
+        return proj(out)
 
 
 class TransformerBlock(nn.Module):
@@ -335,6 +401,7 @@ class TransformerBlock(nn.Module):
     fold_ln: bool = False
     attention_impl: str = "xla"
     causal: bool = False
+    matmul_int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, rows=None):
@@ -373,12 +440,17 @@ class TransformerBlock(nn.Module):
                 softmax_dtype=self.softmax_dtype,
                 impl=self.attention_impl,
                 causal=self.causal,
+                matmul_int8=self.matmul_int8,
                 name="attn",
             )(FpLayerNorm(dtype=self.ln_dtype, name="ln_1")(x), mask, rows=rows)
             y = FpLayerNorm(dtype=self.ln_dtype, name="ln_2")(x)
-            y = nn.Dense(4 * d, dtype=self.compute_dtype, name="mlp_fc")(y)
+            fc = QuantDense(4 * d, dtype=self.compute_dtype, name="mlp_fc") if self.matmul_int8 else nn.Dense(
+                4 * d, dtype=self.compute_dtype, name="mlp_fc")
+            y = fc(y)
         y = act(y)
-        y = nn.Dense(d, dtype=self.compute_dtype, name="mlp_proj")(y)
+        proj = QuantDense(d, dtype=self.compute_dtype, name="mlp_proj") if self.matmul_int8 else nn.Dense(
+            d, dtype=self.compute_dtype, name="mlp_proj")
+        y = proj(y)
         return x + y
 
 
@@ -392,6 +464,7 @@ class Transformer(nn.Module):
     fold_ln: bool = False
     attention_impl: str = "xla"
     causal: bool = False
+    matmul_int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, pooled_rows=None):
@@ -408,6 +481,7 @@ class Transformer(nn.Module):
                 fold_ln=self.fold_ln,
                 attention_impl=self.attention_impl,
                 causal=self.causal,
+                matmul_int8=self.matmul_int8,
                 name=f"block_{i}",
             )(x, mask, rows=rows)
         return x
@@ -423,6 +497,7 @@ class VisionTower(nn.Module):
     ln_dtype: Any = jnp.float32
     fold_ln: bool = False
     pool_last_block: bool = False
+    matmul_int8: bool = False
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False):
@@ -494,6 +569,7 @@ class VisionTower(nn.Module):
             ln_dtype=self.ln_dtype,
             fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
+            matmul_int8=self.matmul_int8,
             name="transformer",
         )(x, mask, pooled_rows=rows)
         if pooled:
@@ -523,6 +599,7 @@ class TextTower(nn.Module):
     ln_dtype: Any = jnp.float32
     fold_ln: bool = False
     pool_last_block: bool = False
+    matmul_int8: bool = False
 
     @nn.compact
     def __call__(self, tokens):
@@ -571,6 +648,7 @@ class TextTower(nn.Module):
             ln_dtype=self.ln_dtype,
             fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
+            matmul_int8=self.matmul_int8,
             causal=True,
             name="transformer",
         )(x, mask, pooled_rows=rows)
@@ -597,6 +675,7 @@ class ClipModel(nn.Module):
         if self.cfg.is_resnet:
             from lemon_tpu.models.resnet import ResNetVisionTower
 
+            assert not self.precision.matmul_int8, "int8 fast path covers the ViT towers only"
             self.visual = ResNetVisionTower(self.cfg, compute_dtype=self.precision.compute_dtype)
         else:
             self.visual = VisionTower(
@@ -606,6 +685,7 @@ class ClipModel(nn.Module):
                 ln_dtype=self.precision.ln_dtype,
                 fold_ln=self.precision.fold_ln,
                 pool_last_block=self.precision.pool_last_block,
+                matmul_int8=self.precision.matmul_int8,
             )
         self.text = TextTower(
             self.cfg,
@@ -614,6 +694,7 @@ class ClipModel(nn.Module):
             ln_dtype=self.precision.ln_dtype,
             fold_ln=self.precision.fold_ln,
             pool_last_block=self.precision.pool_last_block,
+            matmul_int8=self.precision.matmul_int8,
         )
         self.logit_scale = self.param(
             "logit_scale",
@@ -639,9 +720,20 @@ class ClipModel(nn.Module):
 
 def init_params(cfg: ClipConfig, seed: int = 0, precision: Precision = Precision()):
     model = ClipModel(cfg, precision=precision)
+    # int8 models initialize through their fp32 twin (QuantDense's own init
+    # is all-zero kernels — meaningless weights); the standard tree then
+    # quantizes exactly like a loaded checkpoint would, so random-init
+    # benchmarking exercises the real path.
+    init_model = (
+        ClipModel(cfg, precision=dataclasses.replace(precision, matmul_int8=False))
+        if precision.matmul_int8 else model
+    )
     pixels = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
     # jit the init: un-jitted tracing dispatches every initializer as its
     # own device op — hundreds of RPC round-trips on a tunneled TPU.
-    init_fn = jax.jit(model.init)
-    return model, init_fn(jax.random.PRNGKey(seed), pixels, tokens)
+    init_fn = jax.jit(init_model.init)
+    params = init_fn(jax.random.PRNGKey(seed), pixels, tokens)
+    # NOTE: the returned tree is the STANDARD layout either way; ClipEncoder
+    # quantizes it once at build (models/encoder.py).
+    return model, params

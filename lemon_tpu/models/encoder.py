@@ -47,6 +47,17 @@ class ClipEncoder:
         for BiomedCLIP)."""
         self.model = model
         self.cfg = model.cfg
+        model_prec0 = getattr(model, "precision", None)
+        if model_prec0 is not None and getattr(model_prec0, "matmul_int8", False):
+            # int8 fast path: the loaders produce the standard fp32 tree;
+            # quantize the projection kernels ONCE here (per-step weight
+            # quantization would re-read ~350MB of weights every batch)
+            from lemon_tpu.models.clip import quantize_clip_params
+
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            already = any("kernel_q" in str(p[-1]) for p, _ in flat)
+            if not already:
+                params = quantize_clip_params(params)
         self.params = jax.device_put(params)
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
