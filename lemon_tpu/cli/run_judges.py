@@ -4,8 +4,14 @@ Counterpart of lib/baselines/run_llava.py and run_vdc.py. The prompts and
 parsers live in lemon_tpu.baselines.judges; this CLI wires them to a
 generation backend:
 
+- ``--backend flax --vlm_checkpoint <blip2 dir>``: TPU-native serving —
+  the HF BLIP-2 checkpoint converts into the Flax vision→Q-Former→OPT
+  stack (models/blip2.py) and judge prompts decode on-device with
+  left-padded greedy generation + transition probabilities (the same
+  P(first content token) scoring as the hf backend). VDC's LLM stages can
+  ride a host --llm_checkpoint alongside.
 - ``--backend hf --vlm_checkpoint <dir> [--llm_checkpoint <dir>]``: local
-  HuggingFace checkpoints (host torch; gated — no downloads).
+  HuggingFace checkpoints (host torch fallback; gated — no downloads).
 - ``--backend echo``: a deterministic stand-in backend (the VLM answers
   from a caption/image-concept heuristic) so the full loop, outputs, and
   evaluation run anywhere. Scores are meaningless; the plumbing is real.
@@ -30,7 +36,7 @@ def build_parser():
     p.add_argument("--dataset", default="synthetic_caption")
     p.add_argument("--noise_type", default="random")
     p.add_argument("--noise_level", type=float, default=0.4)
-    p.add_argument("--backend", default="hf", choices=["hf", "echo"])
+    p.add_argument("--backend", default="hf", choices=["hf", "flax", "echo"])
     p.add_argument("--get_expl", action="store_true",
                    help="llava: ask for an explanation instead of Yes/No; raw "
                         "replies go to scores.csv, no score eval (run_llava.py:97-99,179)")
@@ -190,6 +196,113 @@ def _hf_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=512):
     return vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch
 
 
+def _flax_backends(vlm_checkpoint, llm_checkpoint, max_new_tokens=16):
+    """TPU-native VLM serving: the HF BLIP-2 checkpoint converted into the
+    Flax vision→Q-Former→OPT stack (models/blip2.py), prompts in BLIP-2's
+    VQA frame (``Question: ... Answer:``), LEFT-padded batched greedy
+    decoding on device with per-step transition log-probs — the same
+    P(first content token) scoring as the hf backend (run_llava.py:140-161).
+    Tokenization uses the checkpoint's tokenizer when it ships one; tiny
+    architecturally-real test checkpoints fall back to the deterministic
+    word-hash ids (train/captioning.py convention). VDC's text-only
+    VQG/VAE stages ride a host --llm_checkpoint when provided."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.models.blip2 import Blip2Captioner, load_blip2
+    from lemon_tpu.ops.image import preprocess_device
+    from lemon_tpu.train.captioning import _hf_tokenizer, _tokenize_captions
+
+    model, params, cfg = load_blip2(vlm_checkpoint)
+    hf_tok = _hf_tokenizer(str(vlm_checkpoint))
+    # judge prompts are longer than caption training text — widen the
+    # tokenization budget to the OPT position table
+    import dataclasses as _dc
+
+    prompt_len = max(min(cfg.max_positions - max_new_tokens - cfg.n_queries, 64), 8) if cfg.max_positions else 64
+    tok_cfg = _dc.replace(cfg, max_text_len=prompt_len)
+
+    @jax.jit
+    def gen(params, pixels, tokens, mask):
+        return model.apply(
+            params, pixels, tokens, mask, max_new_tokens,
+            method=Blip2Captioner.generate_judged,
+        )
+
+    def _tokenize_left(prompts):
+        """(B, prompt_len) LEFT-padded ids + mask (generation needs every
+        row's last prompt token at a fixed position)."""
+        ids = _tokenize_captions([f"Question: {p} Answer:" for p in prompts], tok_cfg, str(vlm_checkpoint))
+        out = np.full_like(ids, cfg.pad_token_id)
+        mask = np.zeros(ids.shape, np.int32)
+        for r, row in enumerate(ids):
+            valid = row[row != cfg.pad_token_id]  # OPT's <pad> is never a content token
+            out[r, len(row) - len(valid):] = valid
+            mask[r, len(row) - len(valid):] = 1
+        return out, mask
+
+    def _decode_text(rows):
+        if hf_tok is not None:
+            return [hf_tok.decode([t for t in row if t not in (cfg.pad_token_id,)],
+                                  skip_special_tokens=True).strip() for row in rows]
+        return [" ".join(str(int(t)) for t in row if t not in (cfg.pad_token_id, cfg.eos_token_id))
+                for row in rows]
+
+    def _run_batch(images, prompts):
+        pixels = preprocess_device(
+            np.stack([np.asarray(_resize_uint8(im, cfg.vision.image_resolution)) for im in images]),
+            size=cfg.vision.image_resolution,
+        )
+        tokens, mask = _tokenize_left(prompts)
+        gen_tokens, logprobs = gen(params, pixels, jnp.asarray(tokens), jnp.asarray(mask))
+        gen_tokens = np.asarray(gen_tokens)
+        logprobs = np.asarray(logprobs)
+        texts = _decode_text(gen_tokens)
+        probs = []
+        for r in range(len(texts)):
+            n_gen = int((gen_tokens[r] != cfg.pad_token_id).sum())
+            probs.append(float(np.exp(logprobs[r, 1])) if n_gen > 1 else 0.5)
+        return list(zip(texts, probs))
+
+    def _resize_uint8(im, size):
+        im = np.asarray(im)
+        if im.shape[0] == size and im.shape[1] == size:
+            return im
+        # nearest-neighbor host resize to a stackable shape; the device
+        # preprocess then refines (judge images arrive in ragged raw sizes)
+        ys = (np.arange(size) * im.shape[0] // size).clip(0, im.shape[0] - 1)
+        xs = (np.arange(size) * im.shape[1] // size).clip(0, im.shape[1] - 1)
+        return im[ys][:, xs]
+
+    def vlm_generate(image, prompt):
+        return _run_batch([image], [prompt])[0]
+
+    def vlm_generate_batch(images, prompts):
+        return _run_batch(images, prompts)
+
+    def vlm_answer(image, question):
+        return _run_batch([image], [question])[0][0]
+
+    def vlm_answer_batch(images, questions):
+        return [t for t, _ in _run_batch(images, questions)]
+
+    llm_generate = None
+    if llm_checkpoint:
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        llm = AutoModelForCausalLM.from_pretrained(llm_checkpoint, dtype=torch.float32).eval()
+        llm_tok = AutoTokenizer.from_pretrained(llm_checkpoint)
+
+        @torch.inference_mode()
+        def llm_generate(prompt):
+            ids = llm_tok(prompt, return_tensors="pt")
+            out = llm.generate(**ids, do_sample=False, max_new_tokens=max_new_tokens)
+            return llm_tok.decode(out[0, ids["input_ids"].shape[1]:], skip_special_tokens=True)
+
+    return vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -220,15 +333,16 @@ def main(argv=None):
     else:
         if not args.vlm_checkpoint or not Path(args.vlm_checkpoint).exists():
             raise SystemExit(
-                "--backend hf requires --vlm_checkpoint pointing at a local "
+                f"--backend {args.backend} requires --vlm_checkpoint pointing at a local "
                 "checkpoint directory (no network in this environment); use "
                 "--backend echo to exercise the pipeline without models."
             )
-        vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch = _hf_backends(
+        backends = _flax_backends if args.backend == "flax" else _hf_backends
+        vlm_generate, vlm_answer, llm_generate, vlm_generate_batch, vlm_answer_batch = backends(
             args.vlm_checkpoint, args.llm_checkpoint, max_new_tokens=args.max_new_tokens
         )
         if args.judge == "vdc" and llm_generate is None:
-            raise SystemExit("--judge vdc with --backend hf needs --llm_checkpoint (VQG/VAE stages)")
+            raise SystemExit(f"--judge vdc with --backend {args.backend} needs --llm_checkpoint (VQG/VAE stages)")
 
     _, val, test = get_dataset(args.dataset, args.data_seed, noise_level=args.noise_level,
                                noise_type=args.noise_type, synthetic_n=args.synthetic_n)

@@ -264,24 +264,79 @@ class Blip2Captioner(CaptioningModel):
             x = block(x, img)
         return self.language_projection(x)
 
-    def _decode(self, image_tokens, text_tokens):
+    def _decode(self, image_tokens, text_tokens, key_mask=None):
         """OPT decoder over [projected queries, text embeds]; causal over the
         whole sequence (HF builds one causal mask for the concat), learned
-        positions with the OPT +2 offset; logits tied to embed_tokens."""
+        positions with the OPT +2 offset; logits tied to embed_tokens.
+
+        ``key_mask`` (B, L_txt) bool marks VALID text positions for
+        left-padded prompts (the judge-serving path): padded keys are
+        masked out of attention and skip position ids exactly like HF's
+        cumsum-over-attention-mask OPT positions. None keeps the static
+        contiguous-positions parity path."""
         n_img = image_tokens.shape[1]
         l_txt = text_tokens.shape[1]
         txt = jnp.take(self.embed_tokens, text_tokens, axis=0).astype(self.compute_dtype)
         x = jnp.concatenate([image_tokens, txt], axis=1)
         total = n_img + l_txt
-        x = x + self.embed_positions[2 : total + 2].astype(x.dtype)
         pos = jnp.arange(total)
-        mask = jnp.where(pos[None, :] <= pos[:, None], 0.0, -jnp.inf)[None, None, :, :]
+        causal = jnp.where(pos[None, :] <= pos[:, None], 0.0, -jnp.inf)[None, None, :, :]
+        if key_mask is None:
+            x = x + self.embed_positions[2 : total + 2].astype(x.dtype)
+            mask = causal
+        else:
+            full_mask = jnp.concatenate(
+                [jnp.ones((key_mask.shape[0], n_img), key_mask.dtype), key_mask], axis=1
+            )
+            # OPTLearnedPositionalEmbedding: cumsum(mask)*mask - 1, + offset 2
+            pos_ids = (jnp.cumsum(full_mask.astype(jnp.int32), axis=1) * full_mask - 1) * full_mask + 2
+            x = x + jnp.take(self.embed_positions, pos_ids, axis=0).astype(x.dtype)
+            mask = causal + jnp.where(full_mask, 0.0, -jnp.inf)[:, None, None, :]
         for block in self.blocks:
             x = block(x, mask)
         x = self.ln_final(x)
         logits = jnp.einsum("bld,vd->blv", x.astype(self.compute_dtype),
                             self.embed_tokens.astype(self.compute_dtype))
         return logits[:, n_img:, :]
+
+    def generate_judged(self, pixels, prompt_tokens, prompt_mask, max_new_tokens: int = 16):
+        """Prompt-conditioned greedy generation for the judge backends:
+        LEFT-padded prompts (every row's last prompt token abuts its first
+        generated position), returns (generated tokens (B, T), per-step
+        log P(chosen token) (B, T)) — the HF backend's
+        compute_transition_scores semantics (cli/run_judges.py)."""
+        c: Blip2Config = self.cfg
+        prefix = self.encode_image_prefix(pixels)
+        b, lp = prompt_tokens.shape
+        text = jnp.concatenate(
+            [prompt_tokens, jnp.full((b, max_new_tokens), c.pad_token_id, jnp.int32)], axis=1
+        )
+        key_mask = jnp.concatenate(
+            [prompt_mask.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+        )
+        logprobs = jnp.zeros((b, max_new_tokens), jnp.float32)
+
+        def step(carry, t):
+            text, key_mask, logprobs, done = carry
+            logits = self._decode(prefix, text, key_mask=key_mask)
+            step_logits = logits[:, lp + t - 1, :].astype(jnp.float32)
+            lp_all = jax.nn.log_softmax(step_logits, axis=-1)
+            nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+            chosen = jnp.take_along_axis(lp_all, nxt[:, None], axis=1)[:, 0]
+            nxt = jnp.where(done, c.pad_token_id, nxt)
+            chosen = jnp.where(done, 0.0, chosen)
+            text = jax.lax.dynamic_update_slice_in_dim(text.T, nxt[None, :], lp + t, 0).T
+            key_mask = jax.lax.dynamic_update_slice_in_dim(
+                key_mask.T, jnp.where(done, 0, 1)[None, :].astype(jnp.int32), lp + t, 0
+            ).T
+            logprobs = jax.lax.dynamic_update_slice_in_dim(logprobs.T, chosen[None, :], t, 0).T
+            done = done | (nxt == c.eos_token_id)
+            return (text, key_mask, logprobs, done), ()
+
+        (text, _, logprobs, _), _ = jax.lax.scan(
+            step, (text, key_mask, logprobs, jnp.zeros(b, bool)), jnp.arange(max_new_tokens)
+        )
+        return text[:, lp:], logprobs
 
 
 # ---------------------------------------------------------------------------
