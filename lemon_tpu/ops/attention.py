@@ -1,12 +1,20 @@
-"""Pallas fused attention (flash-style) for TPU.
+"""Pallas fused attention (flash-style) for TPU — EXPERIMENTAL.
 
-Used by the CLIP towers behind ``ClipConfig.attention_impl='pallas'``
-(lemon_tpu.models.clip.Attention). At CLIP's native sequence lengths
-(50 image tokens / 77-256 text tokens) XLA's batched attention is already
-compute-bound, so 'xla' stays the default; this kernel exists for the
-long-context variants and as the template for fused ops: one kernel
-computes q@k^T, the (optionally causal) online softmax, and the @v
-contraction without materializing the (L, L) probability matrix in HBM.
+Status (explicit, per the round-2 review): this kernel LOSES to the XLA
+attention path at every sequence length in the framework's model zoo, all
+measured on a real v5e (BENCH_NOTES.md): L=50 vision 6,133 vs 9,505 img/s
+(round 1); ctx-256 MIMIC text 2,762 vs 3,850 txt/s with packing (round 2).
+No shipped configuration uses it — ``ClipConfig.attention_impl='pallas'``
+is an opt-in experiment, retained because flash attention's O(L) memory
+is the only viable path at genuinely long contexts (thousands of tokens),
+which no current model in scope reaches. The measured Pallas wins in this
+codebase are the kNN kernels (ops/scoremax.py, ops/topk.py); the embed
+fast path's throughput lever is int8 projections (core/precision.py
+``matmul_int8``), not this kernel.
+
+One kernel computes q@k^T, the (optionally causal) online softmax, and
+the @v contraction without materializing the (L, L) probability matrix in
+HBM.
 
 Layout: (B, H, L, D) with the grid over (batch*heads, q-blocks) and an
 inner fori_loop over kv-blocks carrying the running max / normalizer /
