@@ -107,12 +107,26 @@ def bench_text_embeddings(batch_size: int = 96, steps_small: int = 2, steps_larg
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_e2e_detect(n: int = 20_000) -> dict:
+def bench_e2e_detect(n: int = 20_000, warm_runs: int = 2) -> dict:
     """Full detection pipeline wall-clock (the run_lemon.py:135,309-312
     analog): synthetic captioning pairs, ViT-B/32, k=50, val/test scoring +
-    hparam optimization, including all jit compiles."""
+    hparam optimization, including all jit compiles.
+
+    Two regimes are reported. The COLD run includes pushing ~3.9 GB of
+    uint8 pixels through the remote relay (~25-200 MB/s, varies ~8x
+    run-to-run — BENCH_NOTES 'e2e decomposition'); its embed phase is
+    broken out so the compute side stays comparable across rounds, and the
+    observed relay bandwidth is reported explicitly. The WARM runs reuse
+    the embedding cache (the repeat-run mode a sweep over hparams/k/seeds
+    hits: embeddings depend only on data+model, run_lemon.py:136-164), so
+    they measure the detection pipeline proper; the median over
+    ``warm_runs`` is the stable headline."""
+    import shutil
+    import tempfile
+
     from lemon_tpu.detect import DetectionConfig, run_detection
 
+    cache_dir = tempfile.mkdtemp(prefix="lemon_bench_emb_")
     cfg = DetectionConfig(
         dataset="synthetic_caption",
         noise_type="random",
@@ -122,19 +136,32 @@ def bench_e2e_detect(n: int = 20_000) -> dict:
         batch_size=256,
         synthetic_n=n,
         skip_train=True,
+        embedding_cache=cache_dir,
         grid={"beta": [0, 5, 20, 100], "gamma": [0, 5, 20, 100], "tau_1": [0, 1, 5, 10], "tau_2": [0, 1, 5, 10]},
     )
-    t0 = time.time()
-    res = run_detection(cfg)
-    wall = time.time() - t0
-    auroc = res["agg_results"]["know_val_labels"]["test"]["AUROC"]
-    out = {"e2e_detect_20k_seconds": round(wall, 1), "e2e_detect_20k_test_auroc": round(float(auroc), 4)}
-    # Embed is dominated by host->device transfer whose bandwidth through
-    # the remote relay varies ~8x run-to-run; exposing it separately keeps
-    # the compute-side phases comparable across rounds.
-    timing = res.get("phase_timing") or {}
-    if "embed_compr" in timing:
-        out["e2e_detect_20k_embed_seconds"] = round(timing["embed_compr"], 1)
+    try:
+        t0 = time.time()
+        res = run_detection(cfg)
+        wall = time.time() - t0
+        auroc = res["agg_results"]["know_val_labels"]["test"]["AUROC"]
+        out = {"e2e_detect_20k_seconds": round(wall, 1), "e2e_detect_20k_test_auroc": round(float(auroc), 4)}
+        timing = res.get("phase_timing") or {}
+        embed_s = sum(v for p, v in timing.items() if p.startswith("embed_"))
+        if embed_s:
+            out["e2e_detect_20k_embed_seconds"] = round(embed_s, 1)
+            # ~written bytes: n pairs x 256x256x3 uint8 through the relay
+            out["e2e_relay_mb_per_s"] = round(n * 256 * 256 * 3 / embed_s / 1e6, 1)
+        warm = []
+        for _ in range(warm_runs):
+            t0 = time.time()
+            res_w = run_detection(cfg)
+            warm.append(time.time() - t0)
+        if warm:
+            out["e2e_detect_20k_warm_seconds"] = round(float(np.median(warm)), 1)
+            auroc_w = res_w["agg_results"]["know_val_labels"]["test"]["AUROC"]
+            assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
     return out
 
 
