@@ -52,6 +52,15 @@ class Precision:
     # quantization error is measured, not assumed (tests/test_int8.py +
     # BENCH_NOTES AUROC drift).
     matmul_int8: bool = False
+    # Static per-layer activation scales for the int8 path (only meaningful
+    # with matmul_int8): the per-token dynamic amax reduce is an extra VPU
+    # pass per projection that XLA cannot fuse through the dot; a calibrated
+    # scalar turns the quantize into a multiply+round that fuses into the
+    # preceding LN/GELU epilogue (measured 3.64 vs 4.55 ms dynamic on the
+    # 12-block matmul stack, benchmarks/probe_int8_static.py). Scales are
+    # calibrated lazily on the encoder's first batch
+    # (models/clip.py calibrate_act_scales).
+    int8_static_act: bool = False
 
     @staticmethod
     def fp32() -> "Precision":
@@ -79,9 +88,16 @@ class Precision:
         """bf16 fast path + W8A8 projections (see ``matmul_int8``)."""
         return dataclasses.replace(Precision.bf16(), matmul_int8=True)
 
+    @staticmethod
+    def int8_static() -> "Precision":
+        """int8 + calibrated static activation scales (``int8_static_act``)."""
+        return dataclasses.replace(Precision.int8(), int8_static_act=True)
+
 
 def default_precision() -> Precision:
     mode = os.environ.get("LEMON_TPU_PRECISION", "fp32").lower()
     if mode == "int8":
         return Precision.int8()
+    if mode == "int8_static":
+        return Precision.int8_static()
     return Precision.bf16() if mode in ("bf16", "bfloat16") else Precision.fp32()

@@ -247,19 +247,38 @@ def ln_folded_dense(x, kernel, bias, g, beta, *, compute_dtype, epsilon=1e-5):
 
 
 class QuantDense(nn.Module):
-    """W8A8 dynamic-quantized Dense for the int8 fast path.
+    """W8A8 quantized Dense for the int8 fast path.
 
     Parameters are the PRE-quantized ``kernel_q`` (int8) and per-output-
     channel ``kernel_scale`` produced once by :func:`quantize_clip_params`
     — quantizing inside the step would re-read every weight per batch.
-    Activations quantize per token (symmetric max-abs) on the fly; the
-    int8xint8->int32 dot runs at ~1.8x the bf16 MXU rate on v5e
+    The int8xint8->int32 dot runs at ~1.8x the bf16 MXU rate on v5e
     (benchmarks/probe_pallas_int8.py). The dequant epilogue applies both
     scales and the bias in fp32, returning ``dtype``.
+
+    Activation quantization has two modes:
+
+    - dynamic (default): per-token symmetric max-abs scale computed on the
+      fly. Robust, but the amax reduce + divide is an extra VPU pass per
+      projection that XLA cannot fuse *through* the dot (measured 4.55 vs
+      3.64 ms static on the 12-block matmul stack, v5e —
+      benchmarks/probe_int8_static.py).
+    - static (``static_act=True``): one calibrated per-layer scalar
+      ``act_scale`` param; the quantize is a multiply+round that fuses
+      into the preceding LN/GELU epilogue. Scales come from
+      :func:`calibrate_act_scales` (symmetric max-abs over a calibration
+      batch); uncalibrated all-ones scales give garbage — the encoder
+      calibrates lazily on its first batch.
+
+    Either way the layer sows its observed activation max-abs into the
+    ``act_stats`` collection — a no-op (dead code, DCE'd) unless the
+    caller makes that collection mutable, which is exactly what
+    calibration does.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -269,12 +288,27 @@ class QuantDense(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         lead = x.shape[:-1]
         xf = x.reshape(-1, d).astype(jnp.float32)
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
-        a_q = jnp.round(xf / a_scale).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            a_q, kernel_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        self.sow(
+            "act_stats",
+            "act_amax",
+            jnp.max(jnp.abs(xf)),
+            reduce_fn=jnp.maximum,
+            init_fn=lambda: jnp.float32(0),
         )
-        y = acc.astype(jnp.float32) * a_scale * kernel_scale + bias
+        if self.static_act:
+            act_scale = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+            a_q = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                a_q, kernel_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            y = acc.astype(jnp.float32) * (act_scale * kernel_scale) + bias
+        else:
+            a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+            a_q = jnp.round(xf / a_scale).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                a_q, kernel_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            y = acc.astype(jnp.float32) * a_scale * kernel_scale + bias
         return y.reshape(*lead, self.features).astype(self.dtype)
 
 
@@ -283,11 +317,13 @@ class QuantDense(nn.Module):
 _INT8_SCOPES = ("qkv", "out", "mlp_fc", "mlp_proj")
 
 
-def quantize_clip_params(params):
+def quantize_clip_params(params, static_act: bool = False):
     """fp32 ClipModel params → the tree :class:`QuantDense` consumes:
     every ``kernel`` under an _INT8_SCOPES scope becomes per-output-channel
     symmetric ``kernel_q``/``kernel_scale``. One host pass at encoder
-    build; everything else passes through unchanged."""
+    build; everything else passes through unchanged. ``static_act`` adds
+    an all-ones ``act_scale`` placeholder per quantized layer —
+    :func:`calibrate_act_scales` must fill it before real use."""
 
     def walk(tree, under_scope=False):
         out = {}
@@ -299,11 +335,47 @@ def quantize_clip_params(params):
                 scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
                 out["kernel_q"] = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
                 out["kernel_scale"] = scale.astype(np.float32)
+                if static_act:
+                    out["act_scale"] = np.float32(1.0)
             else:
                 out[key] = val
         return out
 
     return walk(params)
+
+
+def calibrate_act_scales(model, params, pixels=None, tokens=None, margin: float = 1.0):
+    """Fill the static ``act_scale`` params from observed activations.
+
+    Runs ``encode_image`` on ``pixels`` and/or ``encode_text`` on
+    ``tokens`` with the ``act_stats`` collection mutable (every QuantDense
+    sows its input max-abs there; the sow is dead code on normal applies)
+    and writes ``act_scale = margin * amax / 127`` at each quantized
+    layer. Returns the updated param tree; scopes a given method never
+    touches keep their existing scales, so per-tower lazy calibration
+    composes."""
+
+    def write(ptree, stats):
+        out = dict(ptree)
+        for key, val in stats.items():
+            if key == "act_amax":
+                amax = float(np.asarray(val).max())  # sow may store a tuple
+                out["act_scale"] = np.float32(max(amax * margin, 1e-6) / 127.0)
+            elif isinstance(val, dict) and key in ptree:
+                out[key] = write(ptree[key], val)
+        return out
+
+    new_params = params
+    for method, arg in (("encode_image", pixels), ("encode_text", tokens)):
+        if arg is None:
+            continue
+        apply = jax.jit(
+            functools.partial(model.apply, method=method, mutable=["act_stats"])
+        )
+        _, variables = apply(new_params, arg)
+        stats = jax.device_get(variables["act_stats"])
+        new_params = {**new_params, "params": write(new_params["params"], stats)}
+    return new_params
 
 
 @functools.lru_cache(maxsize=32)
@@ -338,6 +410,7 @@ class Attention(nn.Module):
     impl: str = "xla"
     causal: bool = False
     matmul_int8: bool = False
+    int8_static_act: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, ln=None, rows=None):
@@ -356,7 +429,7 @@ class Attention(nn.Module):
             kernel, bias = DenseParams(3 * d, name="qkv")(d)
             qkv = ln_folded_dense(x, kernel, bias, *ln, compute_dtype=self.compute_dtype)
         elif self.matmul_int8:
-            qkv = QuantDense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
+            qkv = QuantDense(3 * d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="qkv")(x)
         else:
             qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -387,7 +460,7 @@ class Attention(nn.Module):
             out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
         out = out.reshape(b, q.shape[1], d)
-        proj = QuantDense(d, dtype=self.compute_dtype, name="out") if self.matmul_int8 else nn.Dense(
+        proj = QuantDense(d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="out") if self.matmul_int8 else nn.Dense(
             d, dtype=self.compute_dtype, name="out")
         return proj(out)
 
@@ -402,6 +475,7 @@ class TransformerBlock(nn.Module):
     attention_impl: str = "xla"
     causal: bool = False
     matmul_int8: bool = False
+    int8_static_act: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, rows=None):
@@ -441,14 +515,15 @@ class TransformerBlock(nn.Module):
                 impl=self.attention_impl,
                 causal=self.causal,
                 matmul_int8=self.matmul_int8,
+                int8_static_act=self.int8_static_act,
                 name="attn",
             )(FpLayerNorm(dtype=self.ln_dtype, name="ln_1")(x), mask, rows=rows)
             y = FpLayerNorm(dtype=self.ln_dtype, name="ln_2")(x)
-            fc = QuantDense(4 * d, dtype=self.compute_dtype, name="mlp_fc") if self.matmul_int8 else nn.Dense(
+            fc = QuantDense(4 * d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="mlp_fc") if self.matmul_int8 else nn.Dense(
                 4 * d, dtype=self.compute_dtype, name="mlp_fc")
             y = fc(y)
         y = act(y)
-        proj = QuantDense(d, dtype=self.compute_dtype, name="mlp_proj") if self.matmul_int8 else nn.Dense(
+        proj = QuantDense(d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="mlp_proj") if self.matmul_int8 else nn.Dense(
             d, dtype=self.compute_dtype, name="mlp_proj")
         y = proj(y)
         return x + y
@@ -465,6 +540,7 @@ class Transformer(nn.Module):
     attention_impl: str = "xla"
     causal: bool = False
     matmul_int8: bool = False
+    int8_static_act: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, pooled_rows=None):
@@ -482,6 +558,7 @@ class Transformer(nn.Module):
                 attention_impl=self.attention_impl,
                 causal=self.causal,
                 matmul_int8=self.matmul_int8,
+                int8_static_act=self.int8_static_act,
                 name=f"block_{i}",
             )(x, mask, rows=rows)
         return x
@@ -498,6 +575,7 @@ class VisionTower(nn.Module):
     fold_ln: bool = False
     pool_last_block: bool = False
     matmul_int8: bool = False
+    int8_static_act: bool = False
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False):
@@ -570,6 +648,7 @@ class VisionTower(nn.Module):
             fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
             matmul_int8=self.matmul_int8,
+            int8_static_act=self.int8_static_act,
             name="transformer",
         )(x, mask, pooled_rows=rows)
         if pooled:
@@ -600,6 +679,7 @@ class TextTower(nn.Module):
     fold_ln: bool = False
     pool_last_block: bool = False
     matmul_int8: bool = False
+    int8_static_act: bool = False
 
     @nn.compact
     def __call__(self, tokens):
@@ -649,6 +729,7 @@ class TextTower(nn.Module):
             fold_ln=self.fold_ln,
             attention_impl=cfg.attention_impl,
             matmul_int8=self.matmul_int8,
+            int8_static_act=self.int8_static_act,
             causal=True,
             name="transformer",
         )(x, mask, pooled_rows=rows)
@@ -686,6 +767,7 @@ class ClipModel(nn.Module):
                 fold_ln=self.precision.fold_ln,
                 pool_last_block=self.precision.pool_last_block,
                 matmul_int8=self.precision.matmul_int8,
+                int8_static_act=self.precision.int8_static_act,
             )
         self.text = TextTower(
             self.cfg,
@@ -695,6 +777,7 @@ class ClipModel(nn.Module):
             fold_ln=self.precision.fold_ln,
             pool_last_block=self.precision.pool_last_block,
             matmul_int8=self.precision.matmul_int8,
+            int8_static_act=self.precision.int8_static_act,
         )
         self.logit_scale = self.param(
             "logit_scale",

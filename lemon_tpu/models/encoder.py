@@ -48,6 +48,9 @@ class ClipEncoder:
         self.model = model
         self.cfg = model.cfg
         model_prec0 = getattr(model, "precision", None)
+        self._static_act = bool(
+            model_prec0 is not None and getattr(model_prec0, "int8_static_act", False)
+        )
         if model_prec0 is not None and getattr(model_prec0, "matmul_int8", False):
             # int8 fast path: the loaders produce the standard fp32 tree;
             # quantize the projection kernels ONCE here (per-step weight
@@ -57,7 +60,10 @@ class ClipEncoder:
             flat = jax.tree_util.tree_flatten_with_path(params)[0]
             already = any("kernel_q" in str(p[-1]) for p, _ in flat)
             if not already:
-                params = quantize_clip_params(params)
+                params = quantize_clip_params(params, static_act=self._static_act)
+        # Static-act int8 needs real activation scales; calibrate lazily on
+        # the first batch each tower sees (clip.py calibrate_act_scales).
+        self._calibrated = {"img": not self._static_act, "txt": not self._static_act}
         self.params = jax.device_put(params)
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
@@ -118,6 +124,25 @@ class ClipEncoder:
             self._encode_text = jax.jit(encode_text_fn)
             self._embed_pair = jax.jit(embed_pair_fn)
 
+    def _maybe_calibrate(self, pixels=None, tokens=None) -> None:
+        """First-batch activation-scale calibration for the static-act int8
+        mode: one extra (jitted) forward per tower with the act_stats
+        collection mutable, then the scales are baked into ``self.params``
+        for every subsequent batch. No-op in all other precision modes."""
+        pixels = None if self._calibrated["img"] else pixels
+        tokens = None if self._calibrated["txt"] else tokens
+        if pixels is None and tokens is None:
+            return
+        from lemon_tpu.models.clip import calibrate_act_scales
+
+        self.params = jax.device_put(
+            calibrate_act_scales(self.model, self.params, pixels=pixels, tokens=tokens)
+        )
+        if pixels is not None:
+            self._calibrated["img"] = True
+        if tokens is not None:
+            self._calibrated["txt"] = True
+
     # -- text ---------------------------------------------------------------
 
     def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
@@ -129,6 +154,7 @@ class ClipEncoder:
             if n_valid < bs and len(texts) > bs:
                 chunk = chunk + [chunk[-1]] * (bs - n_valid)  # static shapes
             tokens = self._tokenize(chunk)
+            self._maybe_calibrate(tokens=jnp.asarray(tokens))
             emb = self._encode_text(self.params, jnp.asarray(tokens))
             out.append(np.asarray(emb)[:n_valid])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)
@@ -145,6 +171,7 @@ class ClipEncoder:
             if n_valid < bs and n > bs:
                 batch = np.concatenate([batch, np.repeat(batch[-1:], bs - n_valid, 0)])
             pixels = preprocess_device(batch, size=self.cfg.image_resolution, **self._pp_kwargs)
+            self._maybe_calibrate(pixels=pixels)
             emb = self._encode_image(self.params, pixels)
             out.append(np.asarray(emb)[:n_valid])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)
@@ -188,6 +215,13 @@ class ClipEncoder:
         prefetcher = Prefetcher(iter_batches(split, self.batch_size), assemble, depth=2)
         try:
             for images, tokens, n_valid in prefetcher:
+                if not (self._calibrated["img"] and self._calibrated["txt"]):
+                    self._maybe_calibrate(
+                        pixels=preprocess_device(
+                            jnp.asarray(images), size=self.cfg.image_resolution, **self._pp_kwargs
+                        ),
+                        tokens=jnp.asarray(tokens),
+                    )
                 img_e, txt_e = self._embed_pair(self.params, jnp.asarray(images), jnp.asarray(tokens))
                 img_chunks.append(img_e)
                 txt_chunks.append(txt_e)

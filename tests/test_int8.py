@@ -84,3 +84,120 @@ def test_int8_encoder_end_to_end():
     for emb in (img, txt):
         assert np.isfinite(emb).all()
         np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-3)
+
+
+def test_static_act_quant_dense_and_calibration():
+    """Static-act QuantDense: calibrated per-layer scale reproduces the
+    manual math and keeps the layer's quantization error at int8 scale."""
+    from lemon_tpu.models.clip import QuantDense, quantize_clip_params
+
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(16, 24)).astype(np.float32)
+    b = rng.normal(size=24).astype(np.float32)
+    x = rng.normal(size=(4, 5, 16)).astype(np.float32)
+
+    q = quantize_clip_params({"qkv": {"kernel": w, "bias": b}}, static_act=True)["qkv"]
+    assert q["act_scale"] == np.float32(1.0)
+    # calibrate by hand: symmetric max-abs over the batch
+    amax = np.abs(x).max()
+    q = {**q, "act_scale": np.float32(amax / 127.0)}
+
+    model = QuantDense(24, dtype=jnp.float32, static_act=True)
+    out = model.apply({"params": q}, jnp.asarray(x))
+
+    a = x.reshape(-1, 16)
+    a_q = np.clip(np.round(a / q["act_scale"]), -127, 127).astype(np.int8)
+    ref = (a_q.astype(np.int32) @ q["kernel_q"].astype(np.int32)).astype(np.float32)
+    ref = ref * (q["act_scale"] * q["kernel_scale"]) + b
+    np.testing.assert_allclose(np.asarray(out), ref.reshape(4, 5, 24), rtol=1e-5, atol=1e-5)
+    exact = x @ w + b
+    rel = np.abs(np.asarray(out) - exact).max() / np.abs(exact).max()
+    assert rel < 0.05, rel
+
+
+def test_static_act_sow_is_inert_without_mutable():
+    """The act_amax sow must not leak a variables tree on normal applies
+    (it is dead code unless act_stats is mutable)."""
+    from lemon_tpu.models.clip import QuantDense, quantize_clip_params
+
+    rng = np.random.default_rng(3)
+    q = quantize_clip_params(
+        {"qkv": {"kernel": rng.normal(size=(8, 8)).astype(np.float32), "bias": np.zeros(8, np.float32)}}
+    )["qkv"]
+    x = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    out = QuantDense(8, dtype=jnp.float32).apply({"params": q}, x)  # plain apply: no mutable error
+    assert np.isfinite(np.asarray(out)).all()
+    _, variables = QuantDense(8, dtype=jnp.float32).apply({"params": q}, x, mutable=["act_stats"])
+    amax = np.asarray(jax.tree_util.tree_leaves(variables["act_stats"])[0]).max()
+    np.testing.assert_allclose(amax, np.abs(np.asarray(x)).max(), rtol=1e-6)
+
+
+def test_int8_static_tower_embeddings_track_fp32():
+    """Full two-tower forward under Precision.int8_static after lazy
+    calibration vs fp32: alignment must hold like the dynamic mode."""
+    from lemon_tpu.core.precision import Precision
+    from lemon_tpu.models.clip import (
+        ClipConfig,
+        ClipModel,
+        calibrate_act_scales,
+        init_params,
+        quantize_clip_params,
+    )
+
+    cfg = ClipConfig.tiny()
+    model_fp32, params = init_params(cfg, seed=0)
+    model_s = ClipModel(cfg, precision=Precision.int8_static())
+    q_params = quantize_clip_params(params, static_act=True)
+
+    rng = np.random.default_rng(4)
+    pixels = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (8, cfg.context_length)), jnp.int32)
+    q_params = calibrate_act_scales(model_s, q_params, pixels=pixels, tokens=tokens)
+    # every quantized layer got a real scale
+    scales = [
+        np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(q_params)[0]
+        if "act_scale" in str(p[-1])
+    ]
+    assert scales and all(s != 1.0 for s in scales)
+
+    for method, arg in (("encode_image", pixels), ("encode_text", tokens)):
+        ref = np.asarray(model_fp32.apply(params, arg, method=method), np.float64)
+        got = np.asarray(model_s.apply(q_params, arg, method=method), np.float64)
+        ref_n = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+        got_n = got / np.linalg.norm(got, axis=-1, keepdims=True)
+        cos = (ref_n * got_n).sum(-1)
+        assert cos.min() > 0.97, (method, cos.min())
+
+
+def test_int8_static_encoder_lazy_calibration():
+    """ClipEncoder under Precision.int8_static: act scales start as
+    placeholders, calibrate on the first batch per tower, then stay fixed;
+    embeddings keep the detection invariants."""
+    from lemon_tpu.core.precision import Precision
+    from lemon_tpu.data.datasets import get_dataset, load_images
+    from lemon_tpu.models.clip import ClipConfig, init_params
+    from lemon_tpu.models.encoder import ClipEncoder
+
+    cfg = ClipConfig.tiny()
+    model, params = init_params(cfg, seed=0, precision=Precision.int8_static())
+    enc = ClipEncoder(model, params, batch_size=8)
+    assert not enc._calibrated["img"] and not enc._calibrated["txt"]
+
+    train, _, _ = get_dataset("synthetic_caption", data_seed=0, synthetic_n=24)
+    img = enc.encode_images(load_images(train, np.arange(16)))
+    assert enc._calibrated["img"] and not enc._calibrated["txt"]
+    txt = enc.encode_texts(list(train.sentence[:16]))
+    assert enc._calibrated["txt"]
+    for emb in (img, txt):
+        assert np.isfinite(emb).all()
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-3)
+    # scales are baked: a second pass reuses them bit-for-bit
+    img2 = enc.encode_images(load_images(train, np.arange(16)))
+    np.testing.assert_array_equal(img, img2)
+
+    # embed_split path calibrates both towers from its first batch
+    enc2 = ClipEncoder(model, params, batch_size=8)
+    img3, txt3 = enc2.embed_split(train, list(train.sentence))
+    assert enc2._calibrated == {"img": True, "txt": True}
+    assert np.isfinite(img3).all() and np.isfinite(txt3).all()
