@@ -29,23 +29,42 @@ def _timed_scalar(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
-def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: int = 42) -> float:
-    """batch 128 + attention packing measured fastest on v5e (15.8k img/s;
-    256 -> 13.9k, 512 -> 11.3k; BENCH_NOTES round 2)."""
+def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: int = 42, mode: str = "bf16") -> float:
+    """batch 128 + attention packing measured fastest on v5e for bf16
+    (15.8k img/s; 256 -> 13.9k, 512 -> 11.3k; BENCH_NOTES round 2).
+    ``mode='int8_static'`` measures the calibrated W8A8 vision fast path
+    (vision-only; text measured slower under int8 at every batch —
+    BENCH_NOTES round 3); its AUROC drift vs bf16/fp32 is recorded in
+    BENCH_NOTES, and the fp32 parity path is untouched."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
     from lemon_tpu.core.precision import Precision
-    from lemon_tpu.models.clip import ClipConfig, ClipModel, init_params
+    from lemon_tpu.models.clip import (
+        ClipConfig,
+        ClipModel,
+        calibrate_act_scales,
+        init_params,
+        quantize_clip_params_jit,
+    )
     from lemon_tpu.ops.image import preprocess_device
 
     cfg = ClipConfig.vit_b32()
-    model, params = init_params(cfg, seed=0, precision=Precision.bf16())
+    precision = Precision.int8_static() if mode == "int8_static" else Precision.bf16()
+    model, params = init_params(cfg, seed=0, precision=precision)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch_size, 256, 256, 3), np.uint8))
+    if precision.matmul_int8:
+        params = quantize_clip_params_jit(params, static_act=precision.int8_static_act)
+        if precision.int8_static_act:
+            # jitted prep: eager ops through the tunnel each pay a compile
+            pixels = jax.jit(
+                lambda im: preprocess_device(im, size=224, pil_rounding=False, precision="default")
+            )(images)
+            params = calibrate_act_scales(model, params, pixels=pixels)
 
     @functools.partial(jax.jit, static_argnames=("steps",))
     def run(params, imgs_u8, steps):
@@ -121,10 +140,17 @@ def bench_e2e_detect(n: int = 20_000, warm_runs: int = 2) -> dict:
     hits: embeddings depend only on data+model, run_lemon.py:136-164), so
     they measure the detection pipeline proper; the median over
     ``warm_runs`` is the stable headline."""
+    import os
     import shutil
     import tempfile
 
     from lemon_tpu.detect import DetectionConfig, run_detection
+
+    # The embed phase runs the bf16 fast path explicitly (not whatever the
+    # ambient env says); fp32 remains the AUROC-parity mode and the int8
+    # drift study lives in BENCH_NOTES.
+    prev_precision = os.environ.get("LEMON_TPU_PRECISION")
+    os.environ["LEMON_TPU_PRECISION"] = "bf16"
 
     cache_dir = tempfile.mkdtemp(prefix="lemon_bench_emb_")
     cfg = DetectionConfig(
@@ -162,6 +188,10 @@ def bench_e2e_detect(n: int = 20_000, warm_runs: int = 2) -> dict:
             assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
     finally:
         shutil.rmtree(cache_dir, ignore_errors=True)
+        if prev_precision is None:
+            os.environ.pop("LEMON_TPU_PRECISION", None)
+        else:
+            os.environ["LEMON_TPU_PRECISION"] = prev_precision
     return out
 
 
@@ -299,7 +329,15 @@ def main():
     # later rounds (and repeat user runs) skip them.
     enable_compilation_cache()
     backend = jax.default_backend()
-    emb_rate = bench_embeddings()
+    # Both shipped embed fast modes are measured; the headline is whichever
+    # wins at run time (int8 throughput on the tunneled v5e drifts with
+    # sustained load — 14-23k img/s across one day — while bf16 is stable
+    # at ~17k; BENCH_NOTES round 3). Embedding-quality evidence for the
+    # int8 mode: tower cosine alignment >0.98 (tests/test_int8.py) and e2e
+    # synthetic-detection AUROC drift recorded in BENCH_NOTES.
+    emb_rate_bf16 = bench_embeddings()
+    emb_rate_int8 = bench_embeddings(mode="int8_static")
+    emb_rate = max(emb_rate_bf16, emb_rate_int8)
     txt_rate = bench_text_embeddings()
     knn_rate = bench_knn()
     knn_rate_k6 = bench_knn(k=6)  # the CLI default knn_k=5 (+1 exclusion)
@@ -313,6 +351,9 @@ def main():
         "value": round(emb_rate, 1),
         "unit": "embeddings/s",
         "vs_baseline": round(emb_rate / 50_000.0, 4),
+        "image_embed_mode": "int8_static" if emb_rate_int8 >= emb_rate_bf16 else "bf16",
+        "image_embeddings_per_sec_bf16": round(emb_rate_bf16, 1),
+        "image_embeddings_per_sec_int8_static": round(emb_rate_int8, 1),
         "text_embeddings_per_sec": round(txt_rate, 1),
         "knn_pairs_per_sec": round(knn_rate, 0),
         "knn_pairs_per_sec_k6": round(knn_rate_k6, 0),

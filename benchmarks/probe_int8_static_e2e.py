@@ -29,16 +29,18 @@ from lemon_tpu.models.clip import (  # noqa: E402
     ClipModel,
     calibrate_act_scales,
     init_params,
-    quantize_clip_params,
+    quantize_clip_params_jit,
 )
 from lemon_tpu.ops.image import preprocess_device  # noqa: E402
 
 
 def embed_rate(precision: Precision, batch_size: int, steps=(2, 42), text=False) -> float:
     cfg = ClipConfig.vit_b32()
+    print(f"  [init b={batch_size} static={precision.int8_static_act}]", flush=True)
     model, params = init_params(cfg, seed=0, precision=precision)
+    print("  [init done]", flush=True)
     if precision.matmul_int8:
-        params = quantize_clip_params(params, static_act=precision.int8_static_act)
+        params = quantize_clip_params_jit(params, static_act=precision.int8_static_act)
     rng = np.random.default_rng(0)
     if text:
         data = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch_size, 77)), jnp.int32)
@@ -50,12 +52,14 @@ def embed_rate(precision: Precision, batch_size: int, steps=(2, 42), text=False)
         prep = lambda x: preprocess_device(x, size=224, pil_rounding=False, precision="default")
 
     if precision.int8_static_act:
+        print("  [calibrating]", flush=True)
         params = calibrate_act_scales(
             model,
             params,
-            pixels=None if text else prep(data),
+            pixels=None if text else jax.jit(prep)(data),
             tokens=data if text else None,
         )
+        print("  [calibrated]", flush=True)
 
     @functools.partial(jax.jit, static_argnames=("steps",))
     def run(params, data, steps):
@@ -69,28 +73,29 @@ def embed_rate(precision: Precision, batch_size: int, steps=(2, 42), text=False)
         return total
 
     for s in steps:
+        print(f"  [compile steps={s}]", flush=True)
         timed_scalar(run, params, data, s)
+    print("  [measuring]", flush=True)
     t_small = min(timed_scalar(run, params, data, steps[0]) for _ in range(3))
     t_large = min(timed_scalar(run, params, data, steps[1]) for _ in range(3))
     return batch_size * (steps[1] - steps[0]) / max(t_large - t_small, 1e-9)
 
 
 def main():
+    # int8 is vision-only (the text tower measured slower under int8 at
+    # every batch size — probe_int8_embed round 3), so only image variants
+    # are probed; dynamic-int8 B=128/192 reference numbers are 21,175 /
+    # 21,289 img/s from the exclusive-access sweep.
     print(f"devices: {jax.devices()}", flush=True)
     results = {}
-    for text in (False, True):
-        kind = "text " if text else "image"
-        batches = (96, 192) if text else (128, 192, 256)
-        for name, prec in (
-            ("int8stat", Precision.int8_static()),
-            ("int8dyn", Precision.int8()),
-            ("bf16", Precision.bf16()),
-        ):
-            for b in batches:
-                rate = embed_rate(prec, b, text=text)
-                key = f"{'txt' if text else 'img'}_{name}_b{b}"
-                results[key] = round(rate)
-                print(f"{kind} {name:9s} B={b:4d}: {rate:9.0f} {'txt' if text else 'img'}/s", flush=True)
+    for name, prec in (
+        ("int8stat", Precision.int8_static()),
+        ("int8dyn", Precision.int8()),
+    ):
+        for b in (128, 192):
+            rate = embed_rate(prec, b)
+            results[f"img_{name}_b{b}"] = round(rate)
+            print(f"image {name:9s} B={b:4d}: {rate:9.0f} img/s", flush=True)
     print(json.dumps(results))
 
 

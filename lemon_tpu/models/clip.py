@@ -323,12 +323,18 @@ def quantize_clip_params(params, static_act: bool = False):
     symmetric ``kernel_q``/``kernel_scale``. One host pass at encoder
     build; everything else passes through unchanged. ``static_act`` adds
     an all-ones ``act_scale`` placeholder per quantized layer —
-    :func:`calibrate_act_scales` must fill it before real use."""
+    :func:`calibrate_act_scales` must fill it before real use.
+
+    The ``text`` subtree is skipped: int8 is vision-only (the text tower
+    measured slower under int8 at every batch size on v5e — see
+    ClipModel.setup), so its nn.Dense layers must keep their ``kernel``."""
 
     def walk(tree, under_scope=False):
         out = {}
         for key, val in tree.items():
-            if isinstance(val, dict):
+            if key == "text" and isinstance(val, dict):
+                out[key] = val  # text tower stays float (vision-only int8)
+            elif isinstance(val, dict):
                 out[key] = walk(val, under_scope=key in _INT8_SCOPES)
             elif key == "kernel" and under_scope:
                 w = np.asarray(val, np.float32)
@@ -342,6 +348,37 @@ def quantize_clip_params(params, static_act: bool = False):
         return out
 
     return walk(params)
+
+
+def quantize_clip_params_jit(params, static_act: bool = False):
+    """Device-side :func:`quantize_clip_params`: one jitted program, no
+    host round-trip. The host-numpy variant fetches every kernel to the
+    host (``np.asarray``) — ~600 MB down a tunneled TPU's relay for
+    ViT-B/32 when the tree lives on device (jitted random init), which
+    dominated the int8 probes' setup time. Use this whenever the tree is
+    already device-resident; keep the numpy variant for host checkpoint
+    trees (quantize-then-upload moves ~1.7x fewer bytes than
+    upload-then-quantize)."""
+
+    def walk(tree, under_scope=False):
+        out = {}
+        for key, val in tree.items():
+            if key == "text" and isinstance(val, dict):
+                out[key] = val  # text tower stays float (vision-only int8)
+            elif isinstance(val, dict):
+                out[key] = walk(val, under_scope=key in _INT8_SCOPES)
+            elif key == "kernel" and under_scope:
+                w = val.astype(jnp.float32)
+                scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+                out["kernel_q"] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+                out["kernel_scale"] = scale
+                if static_act:
+                    out["act_scale"] = jnp.float32(1.0)
+            else:
+                out[key] = val
+        return out
+
+    return jax.jit(walk)(params)
 
 
 def calibrate_act_scales(model, params, pixels=None, tokens=None, margin: float = 1.0):
@@ -373,8 +410,9 @@ def calibrate_act_scales(model, params, pixels=None, tokens=None, margin: float 
             functools.partial(model.apply, method=method, mutable=["act_stats"])
         )
         _, variables = apply(new_params, arg)
-        stats = jax.device_get(variables["act_stats"])
-        new_params = {**new_params, "params": write(new_params["params"], stats)}
+        stats = jax.device_get(variables.get("act_stats", {}))
+        if stats:
+            new_params = {**new_params, "params": write(new_params["params"], stats)}
     return new_params
 
 
@@ -769,6 +807,12 @@ class ClipModel(nn.Module):
                 matmul_int8=self.precision.matmul_int8,
                 int8_static_act=self.precision.int8_static_act,
             )
+        # int8 covers the VISION tower only: measured on v5e the text tower
+        # LOSES under int8 at every batch size (L=77 unpacked, width 512:
+        # 5.2k txt/s at B=96, 12.4k at B=192 vs 21.7k bf16 —
+        # benchmarks/probe_int8_embed.py round 3), while the vision tower
+        # gains ~25% (21.2k vs 17.0k img/s). The narrower 512-dim matmuls
+        # leave the MXU int8 gain below the extra quantize/dequant work.
         self.text = TextTower(
             self.cfg,
             compute_dtype=self.precision.compute_dtype,
@@ -776,8 +820,6 @@ class ClipModel(nn.Module):
             ln_dtype=self.precision.ln_dtype,
             fold_ln=self.precision.fold_ln,
             pool_last_block=self.precision.pool_last_block,
-            matmul_int8=self.precision.matmul_int8,
-            int8_static_act=self.precision.int8_static_act,
         )
         self.logit_scale = self.param(
             "logit_scale",

@@ -54,16 +54,28 @@ class ClipEncoder:
         if model_prec0 is not None and getattr(model_prec0, "matmul_int8", False):
             # int8 fast path: the loaders produce the standard fp32 tree;
             # quantize the projection kernels ONCE here (per-step weight
-            # quantization would re-read ~350MB of weights every batch)
-            from lemon_tpu.models.clip import quantize_clip_params
+            # quantization would re-read ~350MB of weights every batch).
+            # Device-resident trees (jitted random init) quantize on device
+            # — the numpy path would first fetch ~600MB through a tunneled
+            # TPU's relay; host trees quantize on host then upload the
+            # ~1.7x smaller quantized tree.
+            from lemon_tpu.models.clip import quantize_clip_params, quantize_clip_params_jit
 
             flat = jax.tree_util.tree_flatten_with_path(params)[0]
             already = any("kernel_q" in str(p[-1]) for p, _ in flat)
             if not already:
-                params = quantize_clip_params(params, static_act=self._static_act)
+                on_device = any(
+                    isinstance(leaf, jax.Array) and leaf.devices() and
+                    next(iter(leaf.devices())).platform != "cpu"
+                    for _, leaf in flat
+                )
+                quantize = quantize_clip_params_jit if on_device else quantize_clip_params
+                params = quantize(params, static_act=self._static_act)
         # Static-act int8 needs real activation scales; calibrate lazily on
-        # the first batch each tower sees (clip.py calibrate_act_scales).
-        self._calibrated = {"img": not self._static_act, "txt": not self._static_act}
+        # the first batch the vision tower sees (clip.py
+        # calibrate_act_scales). The text tower is never quantized (int8 is
+        # vision-only — ClipModel.setup), so it needs no calibration.
+        self._calibrated = {"img": not self._static_act, "txt": True}
         self.params = jax.device_put(params)
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
@@ -216,11 +228,15 @@ class ClipEncoder:
         try:
             for images, tokens, n_valid in prefetcher:
                 if not (self._calibrated["img"] and self._calibrated["txt"]):
+                    # jitted prep: eager ops on a tunneled TPU each pay a
+                    # server-side compile round-trip
+                    prep = jax.jit(
+                        lambda im: preprocess_device(
+                            im, size=self.cfg.image_resolution, **self._pp_kwargs
+                        )
+                    )
                     self._maybe_calibrate(
-                        pixels=preprocess_device(
-                            jnp.asarray(images), size=self.cfg.image_resolution, **self._pp_kwargs
-                        ),
-                        tokens=jnp.asarray(tokens),
+                        pixels=prep(jnp.asarray(images)), tokens=jnp.asarray(tokens)
                     )
                 img_e, txt_e = self._embed_pair(self.params, jnp.asarray(images), jnp.asarray(tokens))
                 img_chunks.append(img_e)

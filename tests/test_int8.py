@@ -182,13 +182,14 @@ def test_int8_static_encoder_lazy_calibration():
     cfg = ClipConfig.tiny()
     model, params = init_params(cfg, seed=0, precision=Precision.int8_static())
     enc = ClipEncoder(model, params, batch_size=8)
-    assert not enc._calibrated["img"] and not enc._calibrated["txt"]
+    # text is never quantized (vision-only int8), so only the vision tower
+    # awaits calibration
+    assert not enc._calibrated["img"] and enc._calibrated["txt"]
 
     train, _, _ = get_dataset("synthetic_caption", data_seed=0, synthetic_n=24)
     img = enc.encode_images(load_images(train, np.arange(16)))
-    assert enc._calibrated["img"] and not enc._calibrated["txt"]
+    assert enc._calibrated["img"]
     txt = enc.encode_texts(list(train.sentence[:16]))
-    assert enc._calibrated["txt"]
     for emb in (img, txt):
         assert np.isfinite(emb).all()
         np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-3)
