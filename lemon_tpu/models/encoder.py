@@ -166,7 +166,8 @@ class ClipEncoder:
             if n_valid < bs and len(texts) > bs:
                 chunk = chunk + [chunk[-1]] * (bs - n_valid)  # static shapes
             tokens = self._tokenize(chunk)
-            self._maybe_calibrate(tokens=jnp.asarray(tokens))
+            if not self._calibrated["txt"]:
+                self._maybe_calibrate(tokens=jnp.asarray(tokens))
             emb = self._encode_text(self.params, jnp.asarray(tokens))
             out.append(np.asarray(emb)[:n_valid])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)
@@ -183,7 +184,8 @@ class ClipEncoder:
             if n_valid < bs and n > bs:
                 batch = np.concatenate([batch, np.repeat(batch[-1:], bs - n_valid, 0)])
             pixels = preprocess_device(batch, size=self.cfg.image_resolution, **self._pp_kwargs)
-            self._maybe_calibrate(pixels=pixels)
+            if not self._calibrated["img"]:
+                self._maybe_calibrate(pixels=pixels)
             emb = self._encode_image(self.params, pixels)
             out.append(np.asarray(emb)[:n_valid])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)
