@@ -15,7 +15,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
+from lemon_tpu.baselines.common import BaselineConfig, cache_kwargs, evaluate_scores, setup, split_frame
 from lemon_tpu.detect import _is_clf, _texts_for_split
 from lemon_tpu.scoring.distance_metrics import pair_distances
 
@@ -33,7 +33,9 @@ def run_clip_sim(cfg: BaselineConfig, out_dir: Optional[Path] = None, splits=Non
             noisy_texts = [label_set[int(i) % len(label_set)] for i in split.y_noisy]
         else:
             noisy_texts, _, _, _ = _texts_for_split(cfg, split, label_set)
-        img, txt = encoder.embed_split(split, noisy_texts)
+        # Content-keyed cache shared with run_lemon sweeps (same data +
+        # weights => same entries, whichever pipeline embedded first).
+        img, txt = encoder.embed_split(split, noisy_texts, **cache_kwargs(cfg, encoder, split, noisy_texts))
         scores[sname] = pair_distances(txt, img, cfg.dist_type)
         flips.append(split.is_mislabel)
         split_tags.append(np.full(len(split), sname, object))

@@ -11,7 +11,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from lemon_tpu.data.datasets import get_dataset
-from lemon_tpu.detect import DetectionConfig, _labels_for, _texts_for_split
+from lemon_tpu.detect import DetectionConfig, _cache_kwargs as cache_kwargs, _labels_for, _texts_for_split
 from lemon_tpu.models.registry import create_encoder
 from lemon_tpu.scoring import eval_metrics
 

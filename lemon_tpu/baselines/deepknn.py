@@ -22,7 +22,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
+from lemon_tpu.baselines.common import BaselineConfig, cache_kwargs, evaluate_scores, setup, split_frame
 from lemon_tpu.detect import _is_clf, _texts_for_split
 from lemon_tpu.scoring.distance_metrics import knn_label_distribution
 
@@ -53,7 +53,7 @@ def run_deepknn(cfg: BaselineConfig, out_dir: Optional[Path] = None, splits=None
     for sname in ("train", "val", "test"):
         split = splits[sname]
         noisy_texts, _, _, _ = _texts_for_split(cfg, split, label_set)
-        img, _ = encoder.embed_split(split, noisy_texts)
+        img, _ = encoder.embed_split(split, noisy_texts, **cache_kwargs(cfg, encoder, split, noisy_texts))
         probs = knn_label_distribution(img, labels[sname] % n_classes, n_classes, k=k, norm="l1")
         scores[sname] = 1.0 - probs[np.arange(len(split)), labels[sname] % n_classes]
     runtime = time.time() - t0

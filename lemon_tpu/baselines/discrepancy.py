@@ -23,7 +23,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
+from lemon_tpu.baselines.common import BaselineConfig, cache_kwargs, evaluate_scores, setup, split_frame
 from lemon_tpu.detect import _texts_for_split
 from lemon_tpu.knn import ExactKnnIndex
 
@@ -44,7 +44,7 @@ def run_discrepancy(cfg: BaselineConfig, out_dir: Optional[Path] = None, splits=
 
     train = splits["train"]
     noisy_texts_tr, _, _, _ = _texts_for_split(cfg, train, label_set)
-    img_tr, txt_tr = encoder.embed_split(train, noisy_texts_tr)
+    img_tr, txt_tr = encoder.embed_split(train, noisy_texts_tr, **cache_kwargs(cfg, encoder, train, noisy_texts_tr))
 
     index_txt = ExactKnnIndex(metric="ip", tile=cfg.knn_tile)
     index_txt.add(txt_tr)
@@ -70,7 +70,7 @@ def run_discrepancy(cfg: BaselineConfig, out_dir: Optional[Path] = None, splits=
         if sname == "train":
             img, txt = img_tr, txt_tr
         else:
-            img, txt = encoder.embed_split(split, noisy_texts)
+            img, txt = encoder.embed_split(split, noisy_texts, **cache_kwargs(cfg, encoder, split, noisy_texts))
         _, I_m = index_txt.search(txt, k + (sname == "train"))
 
         if cfg.method.startswith("dis"):

@@ -21,7 +21,7 @@ from typing import Dict, Optional
 import numpy as np
 from scipy.special import softmax
 
-from lemon_tpu.baselines.common import BaselineConfig, evaluate_scores, setup, split_frame
+from lemon_tpu.baselines.common import BaselineConfig, cache_kwargs, evaluate_scores, setup, split_frame
 from lemon_tpu.detect import _is_clf, prompt_fn
 
 
@@ -35,7 +35,8 @@ def run_zero_shot_logits(cfg: BaselineConfig, out_dir: Optional[Path] = None, sp
     scores = {}
     for sname in ("train", "val", "test"):
         split = splits[sname]
-        img, _ = encoder.embed_split(split, [p(label_set[int(i) % len(label_set)]) for i in split.y_noisy])
+        texts = [p(label_set[int(i) % len(label_set)]) for i in split.y_noisy]
+        img, _ = encoder.embed_split(split, texts, **cache_kwargs(cfg, encoder, split, texts))
         if cfg.dist_type == "cosine":
             d = 1.0 - img @ label_embs.T
         elif cfg.dist_type == "euclidean":

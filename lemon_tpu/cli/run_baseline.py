@@ -65,7 +65,7 @@ def main(argv=None):
     # options that silently did nothing.
     unsupported = (
         "normalize_d1", "ablation", "use_discrete_for_text", "real_dataset",
-        "subset_val_set", "mesh", "embedding_cache", "skip_hparam_optim",
+        "subset_val_set", "mesh", "skip_hparam_optim",
         "strict_hparam_parity",
     )
     parser = build_parser()
@@ -82,6 +82,8 @@ def main(argv=None):
         knn_tile=args.knn_tile, checkpoint=args.checkpoint,
         method=args.method, temperature=args.temperature,
         itm_checkpoint=args.itm_checkpoint,
+        # content-keyed, shareable with run_lemon runs over the same data
+        embedding_cache=args.embedding_cache,
     )
 
     if args.baseline == "clip_sim":

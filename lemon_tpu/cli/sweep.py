@@ -41,9 +41,17 @@ class JobState:
 
 
 class Job:
-    def __init__(self, script: str, args: Dict, output_root: Path):
+    def __init__(self, script: str, args: Dict, output_root: Path, extra_args: Dict = None):
+        """``args`` define the run's identity (md5 dir, sweep.py:27-33);
+        ``extra_args`` are appended to the command but EXCLUDED from the
+        identity hash — reserved for flags that change only how a run
+        executes, never its results (e.g. a shared --embedding_cache dir,
+        whose entries are content-keyed on data+weights+precision inside
+        the encoder). A cached and an uncached sweep therefore share run
+        dirs and resume each other."""
         self.script = script
         self.args = dict(args)
+        self.extra_args = dict(extra_args or {})
         canonical = json.dumps(self.args, sort_keys=True)
         self.run_id = hashlib.md5(canonical.encode("utf-8")).hexdigest()
         self.output_dir = Path(output_root) / self.run_id
@@ -52,7 +60,7 @@ class Job:
     @property
     def command(self) -> str:
         parts = [sys.executable, "-m", self.script]
-        for key, val in sorted(self.args.items()):
+        for key, val in sorted({**self.args, **self.extra_args}.items()):
             if isinstance(val, bool):
                 if val:
                     parts.append(f"--{key}")
@@ -113,9 +121,25 @@ def _live_slurm_ids():
         return set()
 
 
-def build_jobs(experiment: str, output_root: Path) -> List[Job]:
+# Scripts that accept --embedding_cache (other CLIs refuse or ignore
+# unknown flags, so the sweep only injects where it is supported).
+_CACHE_SCRIPTS = {"lemon_tpu.cli.run_lemon", "lemon_tpu.cli.run_baseline"}
+
+
+def build_jobs(experiment: str, output_root: Path, embedding_cache: str = None) -> List[Job]:
+    """``embedding_cache``: shared content-keyed embedding-cache dir injected
+    into every job that supports it. Grid cells that differ only in
+    (knn_k, seed, dist_type, ablation, hparams) embed identical data with
+    identical weights — lemon_all re-embeds the same tensors 100s of times
+    without this. Excluded from job identity (see :class:`Job`)."""
     exp = experiments.get_experiment(experiment)
-    return [Job(exp.get_script_name(), hp, output_root) for hp in exp.get_hparams()]
+    script = exp.get_script_name()
+    extra = (
+        {"embedding_cache": str(embedding_cache)}
+        if embedding_cache and script in _CACHE_SCRIPTS
+        else None
+    )
+    return [Job(script, hp, output_root, extra_args=extra) for hp in exp.get_hparams()]
 
 
 def summarize(jobs: List[Job], retry_budget=None) -> Dict[str, int]:
@@ -196,11 +220,21 @@ def main(argv=None):
     parser.add_argument("--max_rounds", type=int, default=None,
                         help="daemon: stop after this many rounds (default: run to completion)")
     parser.add_argument("--yes", action="store_true", help="skip confirmation")
+    parser.add_argument(
+        "--embedding_cache", default=None,
+        help="shared embedding-cache dir for every job that supports it; "
+             "'auto' puts it under the experiment's output root. Cache "
+             "entries are content-keyed, so cells of a grid that embed the "
+             "same data with the same weights compute them once.",
+    )
     args = parser.parse_args(argv)
 
     output_root = Path(args.output_root) / args.experiment
     output_root.mkdir(parents=True, exist_ok=True)
-    jobs = build_jobs(args.experiment, output_root)
+    cache = args.embedding_cache
+    if cache == "auto":
+        cache = str(output_root / "_embedding_cache")
+    jobs = build_jobs(args.experiment, output_root, embedding_cache=cache)
     # Pass the budget so jobs a daemon quarantined report FAILED here
     # instead of INCOMPLETE (which would invite a blind relaunch).
     print(f"{args.experiment}: {len(jobs)} jobs; states: {summarize(jobs, args.retry_budget)}")

@@ -27,7 +27,6 @@ Semantics parity notes:
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 import pickle
 import time
 from pathlib import Path
@@ -156,40 +155,19 @@ def _d1_normalized(cfg: DetectionConfig, img: np.ndarray, label_embs: np.ndarray
     return probs[np.arange(len(img)), np.asarray(noisy_labels, np.int64)]
 
 
-def _embedding_cache_key(cfg: DetectionConfig, encoder: ClipEncoder, split, texts, tag: str) -> str:
-    """Cache identity = everything the embeddings depend on.
-
-    Text embeddings reflect the *noisy* labels (run_lemon.py:198-233), so the
-    key hashes the exact rendered texts — folding in noise_type, noise_level,
-    custom_cifar_prompt, data_seed and any subsetting — plus the image source
-    and the weights fingerprint. (Round-1 verdict weak #3: keying on
+def _cache_kwargs(cfg, encoder, split, texts) -> dict:
+    """embed_split cache kwargs: content-addressed key (see
+    ClipEncoder.cache_key — hashes rendered texts, image source, weights
+    fingerprint, precision; round-1 verdict weak #3: keying on
     dataset/model/seed alone silently reused stale text embeddings across
-    noise configs.)
-    """
-    h = hashlib.md5()
-    for t in texts:
-        h.update(str(t).encode())
-        h.update(b"\x00")
-    if split.paths is not None:
-        for p in split.paths:
-            h.update(str(p).encode())
-            h.update(b"\x01")
-    else:
-        from lemon_tpu.data.streaming import is_lazy_store
-
-        h.update(str(split.images.shape).encode())
-        if is_lazy_store(split.images):
-            # Don't materialize an out-of-RAM store: a strided 64-row sample
-            # plus the shape is the fingerprint.
-            sample = split.images[np.linspace(0, len(split.images) - 1, min(64, len(split.images)), dtype=np.int64)]
-            h.update(np.ascontiguousarray(sample).tobytes())
-        else:
-            h.update(np.ascontiguousarray(split.images).tobytes())
-    h.update(encoder.weights_fingerprint.encode())
-    # Numerics matter too: a bf16 fast-path run and an fp32 parity run must
-    # not share cached embeddings (same weights, different values).
-    h.update(repr(getattr(encoder.model, "precision", None)).encode())
-    return f"{cfg.dataset}/{cfg.clip_model}/{tag}/{h.hexdigest()}"
+    noise configs). Shared with the baseline family via the same helper in
+    baselines/common.py, so identical (data, weights) embed once per sweep."""
+    if cfg.embedding_cache is None:
+        return {}
+    return dict(
+        cache_key=encoder.cache_key(split, texts),
+        cache_dir=Path(cfg.embedding_cache),
+    )
 
 
 def build_neighbor_logs(
@@ -222,10 +200,7 @@ def build_neighbor_logs(
     compr_texts, _, _, _ = _texts_for_split(cfg, compr, label_set)
     with timer.phase("embed_compr"):
         img_tr, txt_tr = encoder.embed_split(
-            compr,
-            compr_texts,
-            cache_key=None if cfg.embedding_cache is None else _embedding_cache_key(cfg, encoder, compr, compr_texts, "compr"),
-            cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
+            compr, compr_texts, **_cache_kwargs(cfg, encoder, compr, compr_texts)
         )
 
     metric = "ip" if cfg.dist_type == "cosine" else "l2"
@@ -261,10 +236,7 @@ def build_neighbor_logs(
         else:
             with timer.phase(f"embed_{sname}"):
                 img, txt = encoder.embed_split(
-                    split,
-                    noisy_texts,
-                    cache_key=None if cfg.embedding_cache is None else _embedding_cache_key(cfg, encoder, split, noisy_texts, sname),
-                    cache_dir=None if cfg.embedding_cache is None else Path(cfg.embedding_cache),
+                    split, noisy_texts, **_cache_kwargs(cfg, encoder, split, noisy_texts)
                 )
 
         extra = 1 if sname == "train" else 0

@@ -14,6 +14,7 @@ every run (SURVEY.md §5 checkpoint/resume notes).
 from __future__ import annotations
 
 import hashlib
+import os
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
@@ -192,6 +193,47 @@ class ClipEncoder:
 
     # -- splits -------------------------------------------------------------
 
+    def cache_key(self, split: Split, texts: Sequence[str]) -> str:
+        """Content-addressed embedding-cache identity: everything the
+        (img, txt) pair returned by :meth:`embed_split` depends on, and
+        nothing else.
+
+        Text embeddings reflect the *noisy* rendered texts
+        (run_lemon.py:198-233), so the key hashes the exact text strings —
+        folding in noise_type/noise_level/prompting/data_seed/subsetting —
+        plus the image source and the weights fingerprint; numerics matter
+        too (a bf16 fast-path run and an fp32 parity run must not share
+        entries), so the model's precision config is folded in. Because the
+        key is pure content (no pipeline/tag/dataset-name salt), any two
+        pipelines embedding the same data with the same weights share
+        entries — run_lemon grid cells across (k, seed, ablation, hparams)
+        AND the baseline family against the same splits.
+        """
+        h = hashlib.md5()
+        for t in texts:
+            h.update(str(t).encode())
+            h.update(b"\x00")
+        if split.paths is not None:
+            for p in split.paths:
+                h.update(str(p).encode())
+                h.update(b"\x01")
+        else:
+            from lemon_tpu.data.streaming import is_lazy_store
+
+            h.update(str(split.images.shape).encode())
+            if is_lazy_store(split.images):
+                # Don't materialize an out-of-RAM store: a strided 64-row
+                # sample plus the shape is the fingerprint.
+                sample = split.images[
+                    np.linspace(0, len(split.images) - 1, min(64, len(split.images)), dtype=np.int64)
+                ]
+                h.update(np.ascontiguousarray(sample).tobytes())
+            else:
+                h.update(np.ascontiguousarray(split.images).tobytes())
+        h.update(getattr(self, "weights_fingerprint", "unknown").encode())
+        h.update(repr(getattr(self.model, "precision", None)).encode())
+        return h.hexdigest()
+
     def embed_split(
         self,
         split: Split,
@@ -206,8 +248,14 @@ class ClipEncoder:
             digest = hashlib.md5(cache_key.encode()).hexdigest()
             path = cache_dir / f"emb_{digest}.npz"
             if path.exists():
-                blob = np.load(path)
-                return blob["img"], blob["txt"]
+                try:
+                    blob = np.load(path)
+                    return blob["img"], blob["txt"]
+                except Exception as e:  # zipfile/KeyError from a torn write
+                    # A file from a crashed pre-atomic-write run (or a
+                    # foreign file with the same name): treat as a miss and
+                    # overwrite below rather than failing the whole run.
+                    print(f"embedding cache: unreadable {path} ({e}); re-embedding", flush=True)
 
         # One fused dispatch per batch, no per-batch blocking (async
         # dispatch overlaps host decode/tokenize of batch i+1 with device
@@ -262,5 +310,12 @@ class ClipEncoder:
 
         if cache_key is not None and cache_dir is not None:
             cache_dir.mkdir(parents=True, exist_ok=True)
-            np.savez(path, img=img, txt=txt)
+            # Atomic publish: sweep jobs share one cache dir and may race on
+            # the same key (same data+model across k/seed grid cells). Write
+            # to a per-writer temp name, then os.replace — readers only ever
+            # see a complete file; concurrent writers produce identical
+            # bytes-equivalent content so last-rename-wins is safe.
+            tmp = cache_dir / f"emb_{digest}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, img=img, txt=txt)
+            os.replace(tmp, path)
         return img, txt

@@ -208,12 +208,25 @@ def soft_margin_proxy_loss(x: jnp.ndarray, logs_arrays, y_signed: jnp.ndarray, f
     gradient respects them.
     """
     d1, dists_n, D_n, dtr_n, dists_m, D_m, dtr_m = logs_arrays
+    # Keep the loss finite over the whole reachable iterate space. Raw
+    # exp(-t*D) overflows float32 once an L-BFGS trajectory pushes a tau
+    # past ~88 (cosine D_n ~ -1), and a single inf poisons the zoom
+    # linesearch with NaNs — measured on XLA:CPU, the scanned optimizer
+    # program then degenerates from ~0.3 s to tens of MINUTES (an
+    # effectively unbounded run; this hung real sweep jobs). Clamp the
+    # hparams to the grid's own domain (|h| <= 100, run_lemon.py:332-337)
+    # and the exponent to +-60: every downstream product stays far inside
+    # float32 range for ANY iterate, gradients are exactly zero outside
+    # the clamp, and the linesearch terminates. Inside the domain the
+    # loss is unchanged. (The host torch proxy in strict-parity mode
+    # stays unguarded like the reference's, lib/metrics/utils.py:123-141.)
+    x = jnp.clip(x, -100.0, 100.0)
     x = jnp.where(force_zero_mask, 0.0, x)
     x = jnp.where(force_one_mask, 1.0, x)
     beta, gamma, t1n, t2n, t1m, t2m = x
     k = dists_n.shape[1]
-    wn = jnp.exp(-t1n * D_n - t2n * dtr_n)
-    wm = jnp.exp(-t1m * D_m - t2m * dtr_m)
+    wn = jnp.exp(jnp.clip(-t1n * D_n - t2n * dtr_n, -60.0, 60.0))
+    wm = jnp.exp(jnp.clip(-t1m * D_m - t2m * dtr_m, -60.0, 60.0))
     d_n = jnp.sum(wn * dists_n, axis=1) / k
     d_m = jnp.sum(wm * dists_m, axis=1) / k
     score = d1 + beta * d_n + gamma * d_m

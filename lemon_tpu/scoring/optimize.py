@@ -132,10 +132,23 @@ def _proxy_lbfgs_device_batch(x0s, arrays, y_signed, fz, fo, maxiter=100):
     trajectory differs from torch's; the proxy's role is one warm-start
     candidate in the ensemble (best-by-objective wins), so only candidate
     quality matters — the strict parity mode keeps the host path.
+
+    Linesearch is Armijo backtracking, NOT optax's default zoom: with the
+    far-from-optimum restarts the ensemble seeds (x0=(10,)*6), the zoom
+    linesearch inside this scanned program degenerated on XLA:CPU from
+    ~0.3 s to unbounded-looking multi-minute execution on real component
+    data (reproduced at float32[15,5]; the unrolled per-step variant of
+    the same math runs fine, so it is the scanned zoom program itself).
+    Backtracking runs the identical data in ~2 s with candidates of the
+    same quality class, and its loop is a simple bounded countdown.
     """
     import optax
 
-    opt = optax.lbfgs()
+    opt = optax.lbfgs(
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=15, store_grad=True
+        )
+    )
 
     def loss_fn(x):
         return soft_margin_proxy_loss(x, arrays, y_signed, fz, fo)
@@ -150,6 +163,10 @@ def _proxy_lbfgs_device_batch(x0s, arrays, y_signed, fz, fo, maxiter=100):
             return (optax.apply_updates(x, updates), state), None
 
         (xf, _), _ = jax.lax.scan(step, (x0, opt.init(x0)), None, length=maxiter)
+        # The proxy loss evaluates iterates under a |h| <= 100 domain clamp
+        # (soft_margin_proxy_loss) — return the candidate AT that clamp so
+        # consider() scores the point the optimizer actually optimized.
+        xf = jnp.clip(xf, -100.0, 100.0)
         # Diverged restarts (NaN from an overflowing tau candidate) fall
         # back to their start point — consider() will rank them out.
         return jnp.where(jnp.all(jnp.isfinite(xf)), xf, x0)

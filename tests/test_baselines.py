@@ -154,3 +154,32 @@ def test_capfilt_custom_scorer():
 
     res = run_capfilt(caption_cfg(), itm_score_fn=oracle_itm)
     assert np.isfinite(res["df"]["pred_score"]).all()
+
+
+def test_embedding_cache_shared_across_pipelines(tmp_path):
+    """The cache key is pure content (texts + image source + weights +
+    precision), so a baseline and a run_lemon detection over the same
+    splits with the same encoder reuse each other's entries — the sweep-
+    level shared cache dir dedupes embedding across the whole job family."""
+    from lemon_tpu.detect import DetectionConfig, run_detection
+
+    cache = tmp_path / "cache"
+    cfg = caption_cfg(embedding_cache=str(cache), data_seed=3)
+    run_clip_sim(cfg, tmp_path / "sim")
+    files = sorted(cache.glob("emb_*.npz"))
+    assert len(files) == 3  # train / val / test
+    mtimes = {f: f.stat().st_mtime for f in files}
+
+    det = DetectionConfig(
+        dataset="synthetic_caption", noise_type="random", noise_level=0.4,
+        clip_model="tiny", knn_k=3, batch_size=64, synthetic_n=240,
+        knn_tile=64, data_seed=3, embedding_cache=str(cache),
+        grid={"beta": [0, 5], "gamma": [0, 5], "tau_1": [0, 5], "tau_2": [0, 5]},
+    )
+    res = run_detection(det)
+    # detection embedded compr(=train)/val/test — all cache hits, no new
+    # entries, nothing rewritten
+    files_after = sorted(cache.glob("emb_*.npz"))
+    assert files_after == files
+    assert {f: f.stat().st_mtime for f in files_after} == mtimes
+    assert np.isfinite(res["df"]["know_val_labels_pred_score"].to_numpy()).all()

@@ -155,6 +155,32 @@ def test_embedding_cache_keys_on_noise_config(tmp_path):
     )
 
 
+def test_embedding_cache_corrupt_entry_is_miss(tmp_path):
+    """A torn/corrupt cache file (crashed writer, pre-atomic-write runs)
+    must be treated as a miss and rewritten, not crash the run — sweep jobs
+    share one cache dir."""
+    cfg = DetectionConfig(
+        dataset="synthetic_caption", noise_type="random", clip_model="tiny",
+        knn_k=3, batch_size=64, synthetic_n=120, knn_tile=32, grid=SMALL_GRID,
+        skip_train=True, embedding_cache=str(tmp_path / "cache"),
+    )
+    res1 = run_detection(cfg)
+    cache_files = list((tmp_path / "cache").glob("emb_*.npz"))
+    assert cache_files
+    for f in cache_files:
+        f.write_bytes(b"not a zipfile")
+    res2 = run_detection(cfg)  # re-embeds, rewrites
+    np.testing.assert_allclose(
+        res1["df"]["know_val_labels_pred_score"].to_numpy(),
+        res2["df"]["know_val_labels_pred_score"].to_numpy(),
+        rtol=1e-6,
+    )
+    for f in cache_files:
+        np.load(f)  # readable again
+    # no temp files left behind by the atomic publish
+    assert not list((tmp_path / "cache").glob("*.tmp.npz"))
+
+
 def test_subset_val_set(tmp_path):
     """--subset_val_set subsamples validation deterministically
     (run_lemon.py:108-110)."""

@@ -311,3 +311,45 @@ def test_device_proxy_lbfgs_candidates_comparable_to_scipy():
         for x0 in x0s
     )
     assert best_dev >= best_scipy - 0.02
+
+
+def test_device_proxy_lbfgs_terminates_on_cosine_like_data_and_extreme_restarts():
+    """Regression: on real cosine-path components (D ~ -1, dists_tr ~ 1) the
+    far-from-optimum (10,)*6 ensemble restart drove exp(-tau*D) past float32
+    overflow, and the inf/NaN-poisoned zoom linesearch inside the scanned
+    device L-BFGS executed for tens of minutes on XLA:CPU (it hung real
+    sweep jobs). The loss now clamps hparams to the grid's |h| <= 100 domain
+    and the linesearch is bounded backtracking — every restart, including an
+    immediately-overflowing x0=200, must terminate promptly with in-domain
+    finite candidates."""
+    import time
+
+    import jax.numpy as jnp
+
+    from lemon_tpu.scoring.optimize import _proxy_arrays, _proxy_lbfgs_device_batch
+
+    rng = np.random.default_rng(3)
+    n, k = 15, 5
+    is_mis = rng.random(n) < 0.4
+    logs = NeighborLogs(
+        d_1=1.0 + 0.2 * rng.random(n),
+        dists_n=0.1 * rng.random((n, k)),
+        D_n=-1.0 + 0.01 * rng.random((n, k)),
+        dists_tr_n=0.8 + 0.35 * rng.random((n, k)),
+        dists_m=0.4 * rng.random((n, k)),
+        D_m=-1.0 + 0.04 * rng.random((n, k)),
+        dists_tr_m=0.8 + 0.35 * rng.random((n, k)),
+        is_mislabel=is_mis.astype(np.int64),
+        sset=np.array(["val"] * n),
+    )
+    arrays, ys, fz, fo = _proxy_arrays(logs, np.asarray(logs.is_mislabel), (), ())
+    x0 = jnp.asarray(
+        np.array([[0.0] * 6, [1.0] * 6, [10.0] * 6, [200.0] * 6]), arrays[0].dtype
+    )
+    t0 = time.time()
+    out = np.asarray(_proxy_lbfgs_device_batch(x0, arrays, ys, fz, fo))
+    wall = time.time() - t0
+    assert np.isfinite(out).all()
+    assert (np.abs(out) <= 100.0).all()  # candidates live in the clamped domain
+    # pre-fix this ran 25+ minutes; generous bound still catches the hang
+    assert wall < 300, f"device proxy took {wall:.0f}s — linesearch pathology is back"

@@ -68,6 +68,26 @@ def test_daemon_retries_flaky_and_fails_hopeless(tmp_path, monkeypatch):
     assert counts == {JobState.DONE: 2, JobState.FAILED: 1}
 
 
+def test_embedding_cache_excluded_from_identity(tmp_path):
+    """--embedding_cache is injected into the command of cache-capable
+    scripts but never into the run-identity md5: a cached sweep must share
+    (and resume) the run dirs of an uncached one."""
+    from lemon_tpu.cli.sweep import build_jobs
+
+    plain = build_jobs("synthetic_smoke", tmp_path)
+    cached = build_jobs("synthetic_smoke", tmp_path, embedding_cache=str(tmp_path / "c"))
+    assert [j.run_id for j in plain] == [j.run_id for j in cached]
+    assert all("--embedding_cache" in j.command for j in cached)
+    assert all("--embedding_cache" not in j.command for j in plain)
+    # the baseline family shares the same content-keyed cache
+    # (discrepancy_baseline runs lemon_tpu.cli.run_baseline)
+    base = build_jobs("discrepancy_baseline", tmp_path, embedding_cache=str(tmp_path / "c"))
+    assert all("--embedding_cache" in j.command for j in base)
+    # but training CLIs don't take the flag
+    train = build_jobs("cc3m_clip_scratch", tmp_path, embedding_cache=str(tmp_path / "c"))
+    assert all("--embedding_cache" not in j.command for j in train)
+
+
 def test_daemon_max_rounds_stops_early(tmp_path, monkeypatch):
     jobs = make_jobs(tmp_path, 1)
 
