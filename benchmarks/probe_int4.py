@@ -12,6 +12,16 @@ candidate (accuracy study required); (b) int4 ~= int8 (upcast lowering)
 or unsupported -> the int8-static pipeline is the dtype endpoint on this
 chip and BENCH_NOTES documents the roofline as final.
 
+MEASURED (round 3, v5e via relay): outcome (b). Every int4
+``convert_element_type`` raises ``UNIMPLEMENTED: TPU backend error`` —
+both host->device transfer (relay shim RecursionError) and an on-device
+jitted cast from int8; W4A8 mixed dots are therefore unreachable too.
+int8 reference legs: 311-324 TOPS at 4096^3, 255 TOPS at the ViT MLP
+pair. int8-static is the dtype endpoint on this chip; see BENCH_NOTES
+"int4 feasibility" for the roofline writeup. NOTE: a backend
+UNIMPLEMENTED error can wedge the relay client for subsequent transfers
+in the same process, so all int8 legs run before any int4 attempt.
+
 Run: python benchmarks/probe_int4.py   (one TPU process at a time!)
 """
 
@@ -41,28 +51,40 @@ def main():
     def requant(y32, lo, hi, dtype):
         return jnp.clip(y32 >> 8, lo, hi).astype(dtype)
 
+    def make_step(ws, lo, hi, dtype):
+        def step(x):
+            for w in ws:
+                x = requant(jnp.dot(x, w, preferred_element_type=jnp.int32), lo, hi, dtype)
+            return x
+        return step
+
     # each chain step keeps the carry shape: square at 4096^3, and the ViT
     # MLP as the fc->proj PAIR (768->3072->768) at the packed token count
+    cases = []
     for tag, m, shapes in (
         ("4096", 4096, ((4096, 4096),)),
         ("vit_mlp_pair", TOKENS, ((768, 3072), (3072, 768))),
     ):
         fl = sum(2 * m * k * n for k, n in shapes)
-
-        def make_step(ws, lo, hi, dtype):
-            def step(x):
-                for w in ws:
-                    x = requant(jnp.dot(x, w, preferred_element_type=jnp.int32), lo, hi, dtype)
-                return x
-            return step
-
         ws8 = [jnp.asarray(rng.integers(-64, 64, s), jnp.int8) for s in shapes]
         x8 = jnp.asarray(rng.integers(-64, 64, (m, shapes[0][0])), jnp.int8)
+        cases.append((tag, fl, ws8, x8))
+
+    # int8 reference legs FIRST: a backend UNIMPLEMENTED from the int4
+    # attempts can wedge the relay client for later transfers
+    for tag, fl, ws8, x8 in cases:
         results[f"int8_{tag}"] = chain_rate(
             make_step(ws8, -127, 127, jnp.int8), x8, fl, f"XLA int8 {tag} (chained, requant)")
+
+    for tag, fl, ws8, x8 in cases:
+        # the relay cannot TRANSFER int4 host->device (RecursionError in the
+        # transfer shim), so materialize int4 on-device by a jitted cast of
+        # the int8 arrays — values already fit in [-7, 7] after clipping
+        ws4 = None
         try:
-            ws4 = [jnp.asarray(rng.integers(-7, 8, s), jnp.int4) for s in shapes]
-            x4 = jnp.asarray(rng.integers(-7, 8, (m, shapes[0][0])), jnp.int4)
+            to4 = jax.jit(lambda t: jnp.clip(t, -7, 7).astype(jnp.int4))
+            ws4 = [jax.block_until_ready(to4(w)) for w in ws8]
+            x4 = jax.block_until_ready(to4(x8))
             results[f"int4_{tag}"] = chain_rate(
                 make_step(ws4, -7, 7, jnp.int4), x4, fl, f"XLA int4 {tag} (chained, requant)")
         except Exception as e:  # unsupported lowering is itself the answer
@@ -71,6 +93,8 @@ def main():
         try:
             # mixed W4A8: int8 activations x int4 weights, MXU-native if
             # XLA lowers the mixed dot without an in-graph upcast
+            if ws4 is None:
+                raise RuntimeError("int4 weights unavailable (int4 leg failed)")
             results[f"w4a8_{tag}"] = chain_rate(
                 make_step(ws4, -127, 127, jnp.int8), x8, fl, f"XLA int4-weight/int8-act {tag}")
         except Exception as e:
