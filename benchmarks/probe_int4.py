@@ -16,8 +16,14 @@ MEASURED (round 3, v5e via relay): outcome (b). Every int4
 ``convert_element_type`` raises ``UNIMPLEMENTED: TPU backend error`` —
 both host->device transfer (relay shim RecursionError) and an on-device
 jitted cast from int8; W4A8 mixed dots are therefore unreachable too.
-int8 reference legs: 311-324 TOPS at 4096^3, 255 TOPS at the ViT MLP
-pair. int8-static is the dtype endpoint on this chip; see BENCH_NOTES
+int8 reference legs, two sessions (int8 clock drift on this chip spans
+14-23k img/s-equivalent across a day, BENCH_NOTES "int8 throughput
+drift"): an early run read 311-324 TOPS at 4096^3 / 255 at the ViT MLP
+pair; the recorded final run (same code, exclusive tunnel) read 351.9 /
+316.2 — the BENCH_NOTES numbers. Both sit in probe_pallas_int8's 318-355
+band once drift is accounted for; the int4 verdict is unaffected (it is
+an UNIMPLEMENTED error, not a rate). int8-static is the dtype endpoint
+on this chip; see BENCH_NOTES
 "int4 feasibility" for the roofline writeup. NOTE: a backend
 UNIMPLEMENTED error can wedge the relay client for subsequent transfers
 in the same process, so all int8 legs run before any int4 attempt.

@@ -39,18 +39,13 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from benchmarks._timing import timed_scalar  # noqa: E402
+from benchmarks._timing import two_point  # noqa: E402
 
 B_SMALL, B, T, D = 1024, 16384, 65536, 512
 
 
 def two_point_rate(fn, small_args, large_args):
-    f = jax.jit(fn)
-    timed_scalar(f, *small_args)
-    timed_scalar(f, *large_args)
-    t_small = min(timed_scalar(f, *small_args) for _ in range(3))
-    t_large = min(timed_scalar(f, *large_args) for _ in range(3))
-    per_query = max(t_large - t_small, 1e-9) / (B - B_SMALL)
+    per_query = two_point(jax.jit(fn), small_args, large_args) / (B - B_SMALL)
     return T / per_query  # pairs/s
 
 
@@ -91,7 +86,10 @@ def main():
     # per-vector symmetric int8 db, quantized once on device (as the index
     # build would); queries quantized per batch inside the timed program
     def quant(v):
-        scale = jnp.max(jnp.abs(v), axis=1, keepdims=True) / 127.0
+        # epsilon floor: an all-zero row would otherwise divide 0/0 -> NaN
+        # (unreachable with this probe's Gaussian data, but this helper is
+        # the pattern an index build would lift)
+        scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-12) / 127.0
         return jnp.round(v / scale).astype(jnp.int8), scale.astype(jnp.float32)
 
     xb_i8, xb_scale = jax.jit(quant)(xb)
