@@ -60,6 +60,20 @@ class Precision:
     # 12-block matmul stack, benchmarks/probe_int8_static.py). Scales are
     # calibrated lazily on the encoder's first batch
     # (models/clip.py calibrate_act_scales).
+    #
+    # Calibration-batch contract: every quantized projection sits behind a
+    # LayerNorm (qkv, mlp_fc) or a GELU of LN'd input (attn-out, mlp_proj),
+    # so activation ranges are normalization-bounded and nearly
+    # input-independent — that is WHY one static scalar per layer works.
+    # Consequence: ANY batch of preprocessed pixels is an acceptable
+    # calibration batch, including pathological ones. Measured
+    # (tests/test_int8.py::test_int8_static_calibration_robust_to_degenerate_batch):
+    # calibrating on all-black, all-white, or max-contrast binary images
+    # keeps per-layer scales within ~2x of real-batch scales and tower
+    # cosine alignment vs fp32 above the same floor as real-batch
+    # calibration. No fallback path is needed; the failure mode the test
+    # guards is a future layer being quantized WITHOUT a normalizer in
+    # front of it.
     int8_static_act: bool = False
 
     @staticmethod
