@@ -1,6 +1,19 @@
-"""Benchmark: CLIP ViT-B/32 embedding throughput + exact-kNN throughput on
-the local accelerator. Prints ONE JSON line:
+"""Benchmark: CLIP ViT-B/32 embedding + exact-kNN + train + e2e detection
+throughput on the local accelerator. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Round-4 structure (the round-3 bench died at the driver's timeout with
+zero output — rc 124, BENCH_r03.json): a thin HOST-ONLY parent process
+(no jax import, so it never blocks on the TPU relay) runs each workload
+as a subprocess leg under BOTH a global wall-clock budget
+(LEMON_BENCH_BUDGET_S, default 1260 s) and a per-leg timeout. Legs run
+serially (the relay tolerates one client at a time — BENCH_NOTES) and
+print cumulative JSON after every completed sub-measurement, so a leg
+killed mid-flight still contributes everything it finished. The parent
+merges whatever it got and ALWAYS prints the final JSON line — on leg
+failure, on budget exhaustion, and (via SIGTERM/SIGINT handler) even
+when an outer driver timeout fires first. A hung relay call can
+therefore cost at most one leg's timeout, never the whole bench.
 
 Measurement notes (tunneled-TPU-safe): dispatch timing lies on the axon
 remote platform (block_until_ready returns before execution) and bulk host
@@ -17,6 +30,10 @@ SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -27,6 +44,10 @@ def _timed_scalar(fn, *args) -> float:
     out = float(fn(*args))
     assert np.isfinite(out)
     return time.perf_counter() - t0
+
+
+# ---------------------------------------------------------------------------
+# workload functions (run inside leg subprocesses)
 
 
 def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: int = 42, mode: str = "bf16") -> float:
@@ -126,90 +147,22 @@ def bench_text_embeddings(batch_size: int = 96, steps_small: int = 2, steps_larg
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_e2e_detect(n: int = 20_000, warm_runs: int = 2) -> dict:
-    """Full detection pipeline wall-clock (the run_lemon.py:135,309-312
-    analog): synthetic captioning pairs, ViT-B/32, k=50, val/test scoring +
-    hparam optimization, including all jit compiles.
-
-    Two regimes are reported. The COLD run includes pushing ~3.9 GB of
-    uint8 pixels through the remote relay (~25-200 MB/s, varies ~8x
-    run-to-run — BENCH_NOTES 'e2e decomposition'); its embed phase is
-    broken out so the compute side stays comparable across rounds, and the
-    observed relay bandwidth is reported explicitly. The WARM runs reuse
-    the embedding cache (the repeat-run mode a sweep over hparams/k/seeds
-    hits: embeddings depend only on data+model, run_lemon.py:136-164), so
-    they measure the detection pipeline proper; the median over
-    ``warm_runs`` is the stable headline."""
-    import os
-    import shutil
-    import tempfile
-
-    from lemon_tpu.detect import DetectionConfig, run_detection
-
-    # The embed phase runs the bf16 fast path explicitly (not whatever the
-    # ambient env says); fp32 remains the AUROC-parity mode and the int8
-    # drift study lives in BENCH_NOTES.
-    prev_precision = os.environ.get("LEMON_TPU_PRECISION")
-    os.environ["LEMON_TPU_PRECISION"] = "bf16"
-
-    cache_dir = tempfile.mkdtemp(prefix="lemon_bench_emb_")
-    cfg = DetectionConfig(
-        dataset="synthetic_caption",
-        noise_type="random",
-        noise_level=0.4,
-        clip_model="huggingface_clip",
-        knn_k=50,
-        batch_size=256,
-        synthetic_n=n,
-        skip_train=True,
-        embedding_cache=cache_dir,
-        grid={"beta": [0, 5, 20, 100], "gamma": [0, 5, 20, 100], "tau_1": [0, 1, 5, 10], "tau_2": [0, 1, 5, 10]},
-    )
-    try:
-        t0 = time.time()
-        res = run_detection(cfg)
-        wall = time.time() - t0
-        auroc = res["agg_results"]["know_val_labels"]["test"]["AUROC"]
-        out = {"e2e_detect_20k_seconds": round(wall, 1), "e2e_detect_20k_test_auroc": round(float(auroc), 4)}
-        timing = res.get("phase_timing") or {}
-        embed_s = sum(v for p, v in timing.items() if p.startswith("embed_"))
-        if embed_s:
-            out["e2e_detect_20k_embed_seconds"] = round(embed_s, 1)
-            # ~written bytes: n pairs x 256x256x3 uint8 through the relay
-            out["e2e_relay_mb_per_s"] = round(n * 256 * 256 * 3 / embed_s / 1e6, 1)
-        warm = []
-        for _ in range(warm_runs):
-            t0 = time.time()
-            res_w = run_detection(cfg)
-            warm.append(time.time() - t0)
-        if warm:
-            out["e2e_detect_20k_warm_seconds"] = round(float(np.median(warm)), 1)
-            auroc_w = res_w["agg_results"]["know_val_labels"]["test"]["AUROC"]
-            assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
-    finally:
-        shutil.rmtree(cache_dir, ignore_errors=True)
-        if prev_precision is None:
-            os.environ.pop("LEMON_TPU_PRECISION", None)
-        else:
-            os.environ["LEMON_TPU_PRECISION"] = prev_precision
-    return out
-
-
-def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int = 16384, precision: str = "highest") -> float:
-    """Worst-case k (the paper sweeps k up to 50; +1 for self-exclusion)."""
+def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int | None = None, precision: str = "highest") -> float:
+    """Worst-case k (the paper sweeps k up to 50; +1 for self-exclusion).
+    ``q_large`` defaults to the index's production query chunk so the
+    measured tile geometry is exactly what ExactKnnIndex.search runs."""
+    import jax
     import jax.numpy as jnp
 
-    from lemon_tpu.knn.index import _tiled_search
+    from lemon_tpu.knn.index import _tiled_search, auto_tile, search_q_chunk, use_pallas_knn
 
+    if q_large is None:
+        q_large = search_q_chunk()
     rng = np.random.default_rng(1)
     xb = rng.standard_normal((n_db, d)).astype(np.float32)
     xb /= np.linalg.norm(xb, axis=1, keepdims=True)
     xq = rng.standard_normal((q_large, d)).astype(np.float32)
     xq /= np.linalg.norm(xq, axis=1, keepdims=True)
-
-    import jax
-
-    from lemon_tpu.knn.index import auto_tile, use_pallas_knn
 
     tile = auto_tile(n_db, q_large)
     pallas = use_pallas_knn()
@@ -234,7 +187,51 @@ def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 102
     return n_db * (q_large - q_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: int = 9, precision: str = "fp32") -> float:
+def bench_knn_500k(n: int = 500_000, d: int = 512, k: int = 51) -> float:
+    """BASELINE.json acceptance target: exact kNN over 500k CC3M-scale
+    pairs in < 1 min (the reference caps its comparison set at 50k because
+    FAISS-on-CPU is O(N^2) there; run_lemon.py:48,122-127). Wall-clock for
+    the full 500k x 500k search at the paper's worst-case k, including
+    query chunking, on-device data (host transfer through the tunnel would
+    dominate otherwise and is not part of the claim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.knn.index import _tiled_search, auto_tile, use_pallas_knn, search_q_chunk
+
+    def dev_unit(key, shape):
+        f = jax.jit(lambda s: (lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True))(
+            jax.random.normal(s, shape, jnp.float32)))
+        x = f(jax.random.PRNGKey(key))
+        x.block_until_ready()
+        return x
+
+    xb = dev_unit(0, (n, d))
+    q_chunk = search_q_chunk()
+    tile = auto_tile(n, q_chunk)
+    pallas = use_pallas_knn()
+
+    @jax.jit
+    def run_chunk(xq_dev, xb_arg):
+        s, i = _tiled_search(xq_dev, xb_arg, k=k, metric="ip", tile=tile,
+                             n_valid=n, use_pallas=pallas)
+        return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
+
+    # compile outside the timed region (a user amortizes it across runs)
+    float(run_chunk(jax.lax.dynamic_slice_in_dim(xb, 0, q_chunk, 0), xb))
+    t0 = time.perf_counter()
+    parts = []
+    for start in range(0, n, q_chunk):
+        # chunks dispatch async; the final scalar fetch forces the lot
+        # (overlapping last-chunk row repeats keep shapes static)
+        chunk = jax.lax.dynamic_slice_in_dim(xb, min(start, n - q_chunk), q_chunk, 0)
+        parts.append(run_chunk(chunk, xb))
+    total = float(jnp.sum(jnp.stack(parts)))
+    assert np.isfinite(total)
+    return time.perf_counter() - t0
+
+
+def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: int = 9, precision: str = "bf16") -> float:
     """Contrastive CLIP training-step throughput (pairs/s/chip), the
     train_clip_from_scratch.py:153-187 hot loop: full fwd+bwd+AdamW update
     with global-batch InfoNCE, as one scanned jit program (two-point
@@ -276,96 +273,232 @@ def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: i
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_knn_500k(n: int = 500_000, d: int = 512, k: int = 51) -> float:
-    """BASELINE.json acceptance target: exact kNN over 500k CC3M-scale
-    pairs in < 1 min (the reference caps its comparison set at 50k because
-    FAISS-on-CPU is O(N^2) there; run_lemon.py:48,122-127). Wall-clock for
-    the full 500k x 500k search at the paper's worst-case k, including
-    query chunking, on-device data (host transfer through the tunnel would
-    dominate otherwise and is not part of the claim)."""
-    import jax
-    import jax.numpy as jnp
+def _e2e_config(n: int, cache_dir: str):
+    from lemon_tpu.detect import DetectionConfig
 
-    from lemon_tpu.knn.index import _tiled_search, auto_tile, use_pallas_knn
-
-    def dev_unit(key, shape):
-        f = jax.jit(lambda s: (lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True))(
-            jax.random.normal(s, shape, jnp.float32)))
-        x = f(jax.random.PRNGKey(key))
-        x.block_until_ready()
-        return x
-
-    xb = dev_unit(0, (n, d))
-    q_chunk = 16384
-    tile = auto_tile(n, q_chunk)
-    pallas = use_pallas_knn()
-
-    @jax.jit
-    def run_chunk(xq_dev, xb_arg):
-        s, i = _tiled_search(xq_dev, xb_arg, k=k, metric="ip", tile=tile,
-                             n_valid=n, use_pallas=pallas)
-        return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
-
-    # compile outside the timed region (a user amortizes it across runs)
-    float(run_chunk(jax.lax.dynamic_slice_in_dim(xb, 0, q_chunk, 0), xb))
-    t0 = time.perf_counter()
-    parts = []
-    for start in range(0, n, q_chunk):
-        # chunks dispatch async; the final scalar fetch forces the lot
-        # (overlapping last-chunk row repeats keep shapes static)
-        chunk = jax.lax.dynamic_slice_in_dim(xb, min(start, n - q_chunk), q_chunk, 0)
-        parts.append(run_chunk(chunk, xb))
-    total = float(jnp.sum(jnp.stack(parts)))
-    assert np.isfinite(total)
-    return time.perf_counter() - t0
+    return DetectionConfig(
+        dataset="synthetic_caption",
+        noise_type="random",
+        noise_level=0.4,
+        clip_model="huggingface_clip",
+        knn_k=50,
+        batch_size=256,
+        synthetic_n=n,
+        skip_train=True,
+        embedding_cache=cache_dir,
+        grid={"beta": [0, 5, 20, 100], "gamma": [0, 5, 20, 100], "tau_1": [0, 1, 5, 10], "tau_2": [0, 1, 5, 10]},
+    )
 
 
-def main():
+# ---------------------------------------------------------------------------
+# leg runners: each prints CUMULATIVE JSON after every completed
+# sub-measurement, so a timeout mid-leg keeps everything finished so far.
+
+
+def _emit(out: dict):
+    print(json.dumps(out), flush=True)
+
+
+def _leg_image_bf16(out):
+    rate = bench_embeddings(mode="bf16")
+    out["image_embeddings_per_sec_bf16"] = round(rate, 1)
+    _emit(out)
+
+
+def _leg_image_int8(out):
+    rate = bench_embeddings(mode="int8_static")
+    out["image_embeddings_per_sec_int8_static"] = round(rate, 1)
+    _emit(out)
+
+
+def _leg_text(out):
+    out["text_embeddings_per_sec"] = round(bench_text_embeddings(), 1)
+    _emit(out)
+
+
+def _leg_knn(out):
+    out["knn_pairs_per_sec"] = round(bench_knn(), 0)
+    _emit(out)
+    # opt-in bf16x3 fast mode shares the leg (same arrays, second compile)
+    out["knn_pairs_per_sec_bf16x3"] = round(bench_knn(precision="high"), 0)
+    _emit(out)
+
+
+def _leg_knn_500k(out):
+    out["knn_500k_seconds"] = round(bench_knn_500k(), 1)
+    _emit(out)
+
+
+def _leg_train_bf16(out):
+    out["clip_train_pairs_per_sec_bf16"] = round(bench_train_step(precision="bf16"), 1)
+    _emit(out)
+
+
+def _leg_e2e(out, n: int = 20_000):
+    """Full detection pipeline wall-clock (the run_lemon.py:135,309-312
+    analog): synthetic captioning pairs, ViT-B/32, k=50, val/test scoring +
+    hparam optimization, including all jit compiles.
+
+    COLD includes pushing ~3.9 GB of uint8 pixels through the remote relay
+    (~25-200 MB/s run-to-run — BENCH_NOTES 'e2e decomposition'); its embed
+    phase is broken out so the compute side stays comparable across
+    rounds, and the observed relay bandwidth is reported explicitly. The
+    single WARM run reuses the embedding cache (the repeat-run mode a
+    sweep over hparams/k/seeds hits: embeddings depend only on data+model,
+    run_lemon.py:136-164), so it measures the detection pipeline proper.
+    Cumulative JSON is emitted after cold, so a timeout during warm keeps
+    the cold result."""
+    import shutil
+    import tempfile
+
+    from lemon_tpu.detect import run_detection
+
+    # The embed phase runs the bf16 fast path explicitly (not whatever the
+    # ambient env says); fp32 remains the AUROC-parity mode and the int8
+    # drift study lives in BENCH_NOTES.
+    os.environ["LEMON_TPU_PRECISION"] = "bf16"
+    cache_dir = tempfile.mkdtemp(prefix="lemon_bench_emb_")
+    cfg = _e2e_config(n, cache_dir)
+    try:
+        t0 = time.time()
+        res = run_detection(cfg)
+        wall = time.time() - t0
+        auroc = res["agg_results"]["know_val_labels"]["test"]["AUROC"]
+        out["e2e_detect_20k_seconds"] = round(wall, 1)
+        out["e2e_detect_20k_test_auroc"] = round(float(auroc), 4)
+        timing = res.get("phase_timing") or {}
+        embed_s = sum(v for p, v in timing.items() if p.startswith("embed_"))
+        if embed_s:
+            out["e2e_detect_20k_embed_seconds"] = round(embed_s, 1)
+            # ~written bytes: n pairs x 256x256x3 uint8 through the relay
+            out["e2e_relay_mb_per_s"] = round(n * 256 * 256 * 3 / embed_s / 1e6, 1)
+        _emit(out)
+        t0 = time.time()
+        res_w = run_detection(cfg)
+        out["e2e_detect_20k_warm_seconds"] = round(time.time() - t0, 1)
+        auroc_w = res_w["agg_results"]["know_val_labels"]["test"]["AUROC"]
+        assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
+        _emit(out)
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+_LEGS = {
+    "image_bf16": _leg_image_bf16,
+    "image_int8": _leg_image_int8,
+    "text": _leg_text,
+    "knn": _leg_knn,
+    "knn_500k": _leg_knn_500k,
+    "train_bf16": _leg_train_bf16,
+    "e2e": _leg_e2e,
+}
+
+
+def run_leg(name: str) -> None:
     import jax
 
     from lemon_tpu.core import enable_compilation_cache
 
-    # Persistent executable cache: first round pays the tunnel compiles,
-    # later rounds (and repeat user runs) skip them.
     enable_compilation_cache()
-    backend = jax.default_backend()
-    # Both shipped embed fast modes are measured; the headline is whichever
-    # wins at run time (int8 throughput on the tunneled v5e drifts with
-    # sustained load — 14-23k img/s across one day — while bf16 is stable
-    # at ~17k; BENCH_NOTES round 3). Embedding-quality evidence for the
-    # int8 mode: tower cosine alignment >0.98 (tests/test_int8.py) and e2e
-    # synthetic-detection AUROC drift recorded in BENCH_NOTES.
-    emb_rate_bf16 = bench_embeddings()
-    emb_rate_int8 = bench_embeddings(mode="int8_static")
-    emb_rate = max(emb_rate_bf16, emb_rate_int8)
-    txt_rate = bench_text_embeddings()
-    knn_rate = bench_knn()
-    knn_rate_k6 = bench_knn(k=6)  # the CLI default knn_k=5 (+1 exclusion)
-    knn_rate_fast = bench_knn(precision="high")  # opt-in bf16x3 scores
-    knn_500k = bench_knn_500k()
-    train_rate = bench_train_step()
-    train_rate_bf16 = bench_train_step(precision="bf16")
-    e2e = bench_e2e_detect()
-    result = {
-        "metric": "clip_vitb32_image_embeddings_per_sec_per_chip",
-        "value": round(emb_rate, 1),
-        "unit": "embeddings/s",
-        "vs_baseline": round(emb_rate / 50_000.0, 4),
-        "image_embed_mode": "int8_static" if emb_rate_int8 >= emb_rate_bf16 else "bf16",
-        "image_embeddings_per_sec_bf16": round(emb_rate_bf16, 1),
-        "image_embeddings_per_sec_int8_static": round(emb_rate_int8, 1),
-        "text_embeddings_per_sec": round(txt_rate, 1),
-        "knn_pairs_per_sec": round(knn_rate, 0),
-        "knn_pairs_per_sec_k6": round(knn_rate_k6, 0),
-        "knn_pairs_per_sec_bf16x3": round(knn_rate_fast, 0),
-        "knn_500k_seconds": round(knn_500k, 1),
-        "clip_train_pairs_per_sec": round(train_rate, 1),
-        "clip_train_pairs_per_sec_bf16": round(train_rate_bf16, 1),
-        **e2e,
-        "backend": backend,
-    }
-    print(json.dumps(result))
+    out = {"backend": jax.default_backend()}
+    _emit(out)  # even an immediately-hung leg reports the backend
+    _LEGS[name](out)
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator (host-only: never imports jax, never touches the relay)
+
+# (name, soft cost estimate s, hard per-leg timeout s). Estimates are from
+# round-2/3 measured runs incl. per-process relay compiles; the hard caps
+# bound the damage of a wedged relay call to one leg.
+_PLAN = [
+    ("image_bf16", 150, 300),
+    ("knn", 150, 300),
+    ("text", 90, 240),
+    ("image_int8", 210, 390),
+    ("train_bf16", 180, 330),
+    ("knn_500k", 120, 270),
+    ("e2e", 300, 600),
+]
+_RESERVE_S = 15  # parent bookkeeping + final print
+
+
+def _merge_from_lines(result: dict, stdout_text: str) -> None:
+    for line in stdout_text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result.update(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+
+
+def main() -> None:
+    budget = float(os.environ.get("LEMON_BENCH_BUDGET_S", 1260))
+    t_start = time.time()
+    result: dict = {}
+    leg_seconds: dict = {}
+    skipped: list = []
+    failed: list = []
+
+    def finalize(_sig=None, _frame=None):
+        emb_bf16 = result.get("image_embeddings_per_sec_bf16", 0.0)
+        emb_int8 = result.get("image_embeddings_per_sec_int8_static", 0.0)
+        emb = max(emb_bf16, emb_int8)
+        final = {
+            "metric": "clip_vitb32_image_embeddings_per_sec_per_chip",
+            "value": round(emb, 1),
+            "unit": "embeddings/s",
+            "vs_baseline": round(emb / 50_000.0, 4),
+            "image_embed_mode": "int8_static" if emb_int8 >= emb_bf16 else "bf16",
+            **result,
+            "leg_seconds": {k: round(v, 1) for k, v in leg_seconds.items()},
+            "legs_skipped": skipped,
+            "legs_failed": failed,
+            "bench_budget_s": budget,
+            "bench_wall_s": round(time.time() - t_start, 1),
+        }
+        print(json.dumps(final), flush=True)
+        if _sig is not None:
+            os._exit(0)  # outer-timeout path: the JSON line is already out
+
+    # If the driver's own timeout fires first, still get the line out.
+    signal.signal(signal.SIGTERM, finalize)
+    signal.signal(signal.SIGINT, finalize)
+
+    for name, est, cap in _PLAN:
+        remaining = budget - _RESERVE_S - (time.time() - t_start)
+        if remaining < min(60, est):
+            skipped.append(name)
+            print(f"[bench] skip {name}: {remaining:.0f}s left", file=sys.stderr, flush=True)
+            continue
+        leg_timeout = min(cap, remaining)
+        print(f"[bench] leg {name} (timeout {leg_timeout:.0f}s)", file=sys.stderr, flush=True)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--leg", name],
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=leg_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                text=True,
+            )
+            _merge_from_lines(result, proc.stdout)
+            if proc.returncode != 0:
+                failed.append(name)
+        except subprocess.TimeoutExpired as e:
+            stdout_text = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="replace")
+            _merge_from_lines(result, stdout_text)
+            failed.append(name)
+            print(f"[bench] leg {name} timed out at {leg_timeout:.0f}s", file=sys.stderr, flush=True)
+        leg_seconds[name] = time.time() - t0
+
+    finalize()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        run_leg(sys.argv[2])
+    else:
+        main()

@@ -45,6 +45,23 @@ from lemon_tpu.ops.topk import supports as _topk_supports
 _NEG_INF = np.float32(-np.inf)
 
 
+def search_q_chunk(default: int = 8192) -> int:
+    """Query-chunk size for index searches (env LEMON_TPU_KNN_QCHUNK).
+
+    At a fixed score-block memory budget the select stage's cost per query
+    row scales with the NUMBER of database tiles (block-topk, candidate
+    gather, iterative top-k, and the cross-tile merge all run once per
+    tile), and tiles shrink as the query chunk grows: n_tiles =
+    ceil(4*q_chunk*N / budget). Halving the round-2/3 chunk of 16384 to
+    8192 doubles the tile to 128k rows, making a 128k database
+    single-tile — the entire select stage runs ONCE per row and the merge
+    disappears, while the score matmul (already MXU-bound at B=8192)
+    is unaffected. Swept on v5e in benchmarks/probe_knn_qchunk.py
+    (round 4); query chunks dispatch async so per-chunk overhead stays
+    amortized."""
+    return int(os.environ.get("LEMON_TPU_KNN_QCHUNK", default))
+
+
 def use_pallas_knn() -> bool:
     """Pallas kNN kernels (fused score+blockmax, iterative top-k) are the
     TPU fast path; XLA remains the reference path and the only path off-TPU.
@@ -109,14 +126,32 @@ def _scores_block(q: jnp.ndarray, db: jnp.ndarray, metric: str, db_sqnorm=None, 
 _BLOCK = 128  # lane width; blockmax prefilter granularity
 
 
-def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pallas: bool, gather: str = "take", n_valid: int | None = None):
+def select_sub_width() -> int:
+    """Second-level select granularity (env LEMON_TPU_KNN_SUBSEL; 0 = off).
+
+    The final top-k runs over the k*128 gathered candidate columns — after
+    the round-4 single-tile geometry this is the largest non-matmul stage
+    (ops/topk.py iterative kernel: k VPU passes over the full width). A
+    second blockmax level at ``sub``-lane granularity applies the
+    prefilter argument recursively: the top-k elements of the candidate
+    set lie in its top-k sub-groups by group max, so the final top-k
+    width drops from k*128 to k*sub at the cost of one narrow group-max
+    fold + one k-wide lax.top_k + one small gather. Exactness and the
+    FAISS ascending-index tiebreak are preserved by keeping every level's
+    selected ids sorted ascending (tests/test_knn.py sub-select cases).
+    """
+    return int(os.environ.get("LEMON_TPU_KNN_SUBSEL", 0))
+
+
+def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pallas: bool, gather: str = "take", n_valid: int | None = None, sub: int = 0):
     """Top-k of a masked score block given its precomputed block maxima.
 
     ``sb``: (B, n_blocks, 128) scores with invalid columns already masked
     (-inf on the XLA path, ops/scoremax.MASKED on the fused-Pallas path);
     ``bmax``: (B, n_blocks). Selection logic shared by the XLA path
     (_tile_topk, ``gather='take'``) and the fused-Pallas path
-    (fused_scores_blockmax feeds this with ``gather='onehot'``)."""
+    (fused_scores_blockmax feeds this with ``gather='onehot'``).
+    ``sub``: optional second-level granularity (see select_sub_width)."""
     b, n_blocks, _ = sb.shape
     # bmax top-k stays on lax.top_k: at the auto_tile widths (n_blocks
     # 512-1024) the Pallas iterative kernel's k sequential passes lose to
@@ -141,8 +176,29 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
         )
     else:
         cand = jnp.take_along_axis(sb, block_ids[:, :, None], axis=1)  # (B, k, 128)
-    cand = cand.reshape(b, k * _BLOCK)
-    if use_pallas and _topk_supports(k * _BLOCK, k):
+    if sub and 0 < sub < _BLOCK and _BLOCK % sub == 0:
+        # Second blockmax level: the top-k elements of the (b, k, 128)
+        # candidate set lie in its top-k sub-lane groups by group max
+        # (identical argument to the 128-lane prefilter, applied
+        # recursively) — shrink the final top-k width from k*128 to
+        # k*sub. block_ids are sorted ascending and groups enumerate in
+        # ascending lane order, so sorting sub_ids keeps the flattened
+        # candidates in ascending global-column order and lax.top_k's
+        # first-occurrence rule still realizes the FAISS tiebreak.
+        gpb = _BLOCK // sub  # groups per 128-block
+        g = cand.reshape(b, k, gpb, sub)
+        gmax = jnp.max(g, axis=3).reshape(b, k * gpb)
+        _, sub_ids = jax.lax.top_k(gmax, k)  # (B, k), first-occurrence ties
+        sub_ids = jnp.sort(sub_ids, axis=1)
+        cand = jnp.take_along_axis(
+            g.reshape(b, k * gpb, sub), sub_ids[:, :, None], axis=1
+        ).reshape(b, k * sub)
+        width = k * sub
+    else:
+        sub = 0
+        cand = cand.reshape(b, k * _BLOCK)
+        width = k * _BLOCK
+    if use_pallas and _topk_supports(width, k):
         # interpret auto-selects: compiled on TPU, interpreter elsewhere
         # (lets CPU-mesh tests exercise this exact composition)
         out_s, pos = pallas_topk(cand, k)
@@ -151,11 +207,18 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
         # restore the -inf padding contract when candidates carry the
         # finite sentinel (pallas_topk does this mapping itself)
         out_s = jnp.where(out_s == _MASKED, _NEG_INF, out_s)
-    # Positions encode (block slot, lane): recover global columns with a
-    # k-wide gather over block_ids instead of materializing and gathering
-    # a (B, k*128) column matrix (measured 0.50 -> ~0.02 us/row at k=51).
-    slot_ids = jnp.take_along_axis(block_ids, pos // _BLOCK, axis=1)
-    idx = start + slot_ids * _BLOCK + pos % _BLOCK
+    # Positions encode (block slot, [sub slot,] lane): recover global
+    # columns with k-wide gathers over the per-level id vectors instead of
+    # materializing and gathering a (B, width) column matrix (measured
+    # 0.50 -> ~0.02 us/row at k=51).
+    if sub:
+        gpb = _BLOCK // sub
+        flat_sub = jnp.take_along_axis(sub_ids, pos // sub, axis=1)  # in [0, k*gpb)
+        slot_ids = jnp.take_along_axis(block_ids, flat_sub // gpb, axis=1)
+        idx = start + slot_ids * _BLOCK + (flat_sub % gpb) * sub + pos % sub
+    else:
+        slot_ids = jnp.take_along_axis(block_ids, pos // _BLOCK, axis=1)
+        idx = start + slot_ids * _BLOCK + pos % _BLOCK
     if n_valid is not None:
         # Padding slots (-inf) otherwise carry whatever masked column they
         # came from — with 8-block alignment padding that can exceed even
@@ -166,7 +229,7 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
     return out_s, idx
 
 
-def _tile_topk(s: jnp.ndarray, start: int | jnp.ndarray, k: int, n_valid: int, use_pallas: bool = False):
+def _tile_topk(s: jnp.ndarray, start: int | jnp.ndarray, k: int, n_valid: int, use_pallas: bool = False, sub: int = 0):
     """Exact per-tile top-k of a (B, T) score block via blockmax prefilter.
 
     The top-k elements of a row lie in at most k of its 128-wide blocks,
@@ -196,7 +259,7 @@ def _tile_topk(s: jnp.ndarray, start: int | jnp.ndarray, k: int, n_valid: int, u
     n_blocks = t // _BLOCK
     sb = s.reshape(b, n_blocks, _BLOCK)
     bmax = jnp.max(sb, axis=2)
-    return _blockmax_select(sb, bmax, start, k, use_pallas, n_valid=n_valid)
+    return _blockmax_select(sb, bmax, start, k, use_pallas, n_valid=n_valid, sub=sub)
 
 
 def auto_tile(n_db: int, n_queries: int, budget_bytes: int = 4 << 30) -> int:
@@ -218,7 +281,7 @@ def auto_tile(n_db: int, n_queries: int, budget_bytes: int = 4 << 30) -> int:
     return tile
 
 
-def _tiled_search_impl(xq, xb, *, k: int, metric: str, tile: int, n_valid, use_pallas: bool = False, precision: str = "highest"):
+def _tiled_search_impl(xq, xb, *, k: int, metric: str, tile: int, n_valid, use_pallas: bool = False, precision: str = "highest", sub: int = 0):
     """Scan DB tiles carrying a running (score, index) top-k per query row.
 
     ``xb`` may have any length; it is padded to a tile multiple inside the
@@ -254,9 +317,9 @@ def _tiled_search_impl(xq, xb, *, k: int, metric: str, tile: int, n_valid, use_p
             # 14.6 B pairs/s) but a loss under fp32-HIGHEST where the MXU
             # is already the bottleneck (11.0 -> 8.4); gate by precision.
             gather = "onehot" if precision == "high" else "take"
-            return _blockmax_select(s, bmax, start, k, use_pallas, gather=gather, n_valid=n_valid)
+            return _blockmax_select(s, bmax, start, k, use_pallas, gather=gather, n_valid=n_valid, sub=sub)
         s = _scores_block(xq, db, metric, dbsq, precision)
-        return _tile_topk(s, start, k, n_valid, use_pallas)
+        return _tile_topk(s, start, k, n_valid, use_pallas, sub=sub)
 
     if n_tiles == 1:
         # Single tile: no merge needed — measured +45% at (16k queries,
@@ -283,15 +346,15 @@ def _tiled_search_impl(xq, xb, *, k: int, metric: str, tile: int, n_valid, use_p
     return scores, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "n_valid", "use_pallas", "precision"))
-def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_pallas: bool = False, precision: str = "highest"):
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "n_valid", "use_pallas", "precision", "sub"))
+def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_pallas: bool = False, precision: str = "highest", sub: int = 0):
     """Jitted single-device entry: ``n_valid`` is static (a Python int) so
     the fused kernel's validity mask folds at compile time. The sharded
     path calls :func:`_tiled_search_impl` directly with a traced per-shard
     count."""
     return _tiled_search_impl(
         xq, xb, k=k, metric=metric, tile=tile, n_valid=n_valid,
-        use_pallas=use_pallas, precision=precision,
+        use_pallas=use_pallas, precision=precision, sub=sub,
     )
 
 
@@ -299,7 +362,7 @@ def _tiled_search(xq, xb, *, k: int, metric: str, tile: int, n_valid: int, use_p
 # mesh-sharded search
 
 
-def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, use_pallas: bool = False, precision: str = "highest"):
+def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, use_pallas: bool = False, precision: str = "highest", sub: int = 0):
     """Build a shard_map'd search over a database sharded on DATA_AXIS."""
     from jax import shard_map
 
@@ -317,6 +380,7 @@ def _sharded_search_fn(mesh: Mesh, k: int, metric: str, tile: int, use_pallas: b
         s, i = _tiled_search_impl(
             xq, xb_shard, k=k, metric=metric, tile=tile,
             n_valid=shard_valid[my], use_pallas=use_pallas, precision=precision,
+            sub=sub,
         )
         valid = i < shard_valid[my]
         s = jnp.where(valid, s, _NEG_INF)
@@ -357,12 +421,14 @@ class ExactKnnIndex:
     across devices on the data axis.
     """
 
-    def __init__(self, metric: str = "ip", tile: Optional[int] = None, mesh: Optional[Mesh] = None, backend: str = "device", precision: str = "highest"):
+    def __init__(self, metric: str = "ip", tile: Optional[int] = None, mesh: Optional[Mesh] = None, backend: str = "device", precision: str = "highest", select_sub: Optional[int] = None):
         """``tile=None`` picks the largest DB tile whose score block fits a
         4GB budget per search (bigger tiles = fewer wide-TopK merges).
         ``precision='high'`` opts into the bf16x3 score matmul (2.1x MXU
         throughput, ~1e-6 score error; see _scores_block) — the default
-        stays full-fp32 for FAISS parity."""
+        stays full-fp32 for FAISS parity. ``select_sub=None`` reads the
+        LEMON_TPU_KNN_SUBSEL env default (see select_sub_width; exact at
+        any setting)."""
         assert metric in ("ip", "l2")
         assert backend in ("device", "cpp")
         assert precision in ("highest", "high")
@@ -371,6 +437,7 @@ class ExactKnnIndex:
         self.mesh = mesh
         self.backend = backend
         self.precision = precision
+        self.select_sub = select_sub_width() if select_sub is None else select_sub
         self._chunks = []
         self._xb = None  # device array, padded
         self._xb_host = None
@@ -427,8 +494,9 @@ class ExactKnnIndex:
         xq = np.ascontiguousarray(xq, dtype=np.float32)
         if self.mesh is None:
             # Chunk queries so the adaptive tile stays large (the tile, not
-            # the query batch, drives merge cost); chunks dispatch async.
-            q_chunk = 16384
+            # the query batch, drives select/merge cost); chunks dispatch
+            # async. See search_q_chunk for the tradeoff.
+            q_chunk = search_q_chunk()
             tile = self.tile or auto_tile(self._n, min(len(xq), q_chunk))
             tile = min(tile, pad_to_multiple(self._n, _BLOCK))
             pallas = use_pallas_knn()
@@ -437,6 +505,7 @@ class ExactKnnIndex:
                     jnp.asarray(xq[start : start + q_chunk]), self._xb,
                     k=k, metric=self.metric, tile=tile, n_valid=self._n,
                     use_pallas=pallas, precision=self.precision,
+                    sub=self.select_sub,
                 )
                 for start in range(0, len(xq), q_chunk)
             ]
@@ -449,9 +518,9 @@ class ExactKnnIndex:
             per_shard = self._xb.shape[0] // self.mesh.shape[DATA_AXIS]
             tile = min(self.tile or auto_tile(per_shard, xq.shape[0]), per_shard)
             pallas = use_pallas_knn()
-            key = (k, tile, pallas, self.precision)
+            key = (k, tile, pallas, self.precision, self.select_sub)
             if key not in self._search_fns:
-                self._search_fns[key] = _sharded_search_fn(self.mesh, k, self.metric, tile, pallas, self.precision)
+                self._search_fns[key] = _sharded_search_fn(self.mesh, k, self.metric, tile, pallas, self.precision, self.select_sub)
             s, i = self._search_fns[key](xq, self._xb, self._shard_starts, self._shard_valid)
         s = np.asarray(s)
         i = np.asarray(i, dtype=np.int32)

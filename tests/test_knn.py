@@ -209,3 +209,60 @@ def test_duplicate_database_rows(rng):
     ref_s, ref_i = numpy_search(xb, xq, 8, "ip")
     np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(i, ref_i)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("sub", [16, 32])
+def test_sub_select_matches_numpy(metric, sub):
+    """Two-level select (second blockmax at sub-lane granularity) is
+    exact: db large enough that the prefilter path runs (t >= 4*k*128)."""
+    rng = np.random.default_rng(7)
+    xb = normed(rng, 2048, 16)
+    xq = normed(rng, 23, 16)
+    k = 3  # 4*k*128 = 1536 <= tile -> blockmax path active
+    ref_d, ref_i = numpy_search(xb, xq, k, metric)
+    index = ExactKnnIndex(metric=metric, tile=2048, select_sub=sub)
+    index.add(xb)
+    d, i = index.search(xq, k)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+
+
+def test_sub_select_ties_within_and_across_groups():
+    """Adversarial ties through BOTH select levels: identical rows planted
+    (a) in different sub-groups of the same 128-block, (b) across blocks,
+    (c) concentrated inside one 32-lane sub-group — ascending-index
+    tiebreak must survive the recursive prefilter."""
+    rng = np.random.default_rng(11)
+    xb = rng.standard_normal((4096, 8)).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    # (a) same block, different sub-groups: 128-block 2 spans 256..383
+    xb[260] = xb[300] = xb[370] = xb[5]
+    # (b) across blocks
+    xb[1500] = xb[2900] = xb[5]
+    # (c) one sub-group holds several copies (block 8, lanes 1024..1055)
+    xb[1025] = xb[1030] = xb[1031] = xb[5]
+    xq = xb[5:6]
+    k = 6  # 4*k*128 = 3072 <= 4096
+    ref_d, ref_i = numpy_search(xb, xq, k, "ip")
+    for sub in (16, 32):
+        index = ExactKnnIndex(metric="ip", tile=4096, select_sub=sub)
+        index.add(xb)
+        d, i = index.search(xq, k)
+        np.testing.assert_array_equal(i, ref_i)
+        np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+
+
+def test_sub_select_multi_tile_and_padding():
+    """sub-select composes with multi-tile scans, n_valid masking and
+    k > per-tile candidates; also exercises k not dividing 128/sub."""
+    rng = np.random.default_rng(12)
+    xb = normed(rng, 5000, 16)  # pads to 5120 over two 2560 tiles
+    xq = normed(rng, 9, 16)
+    k = 5
+    ref_d, ref_i = numpy_search(xb, xq, k, "ip")
+    index = ExactKnnIndex(metric="ip", tile=2560, select_sub=32)
+    index.add(xb)
+    d, i = index.search(xq, k)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)

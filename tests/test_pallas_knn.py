@@ -203,3 +203,25 @@ def test_sharded_search_with_pallas_path(rng):
     ref_s, ref_i = numpy_search(xb, xq, k, "ip")
     np.testing.assert_allclose(np.asarray(s), ref_s, rtol=2e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_fused_path_with_sub_select(rng):
+    """The fused kernel + two-level select + pallas top-k composition
+    (the round-4 TPU fast path) is exact in interpret mode, including the
+    MASKED-sentinel flow through the sub-level group maxes."""
+    from lemon_tpu.knn.index import _tiled_search, numpy_search
+
+    n_db, d, k = 2000, 16, 3  # pads to 2048; 4*k*128 = 1536 <= tile
+    xb = rng.standard_normal((n_db, d)).astype(np.float32)
+    xq = rng.standard_normal((13, d)).astype(np.float32)
+    ref_s, ref_i = numpy_search(xb, xq, k, "ip")
+    for sub in (16, 32):
+        for precision in ("highest", "high"):
+            s, i = _tiled_search(
+                jnp.asarray(xq), jnp.asarray(xb), k=k, metric="ip",
+                tile=2048, n_valid=n_db, use_pallas=True,
+                precision=precision, sub=sub,
+            )
+            np.testing.assert_array_equal(np.asarray(i), ref_i)
+            tol = 1e-5 if precision == "highest" else 1e-3
+            np.testing.assert_allclose(np.asarray(s), ref_s, rtol=tol, atol=tol)
