@@ -10,6 +10,16 @@ to k*sub at the cost of a group-max fold + a k-wide lax.top_k over
 k*128/sub + one small gather. This probe A/Bs sub in {0, 16, 32} for
 both score precisions at the production geometry.
 
+MEASURED (round 4, v5e): sub-select LOSES at this geometry — exact
+16.75 -> 13.59 (sub16) / 12.53 (sub32) B pairs/s; bf16x3 24.22 -> 20.44
+/ 17.32. The extra take_along gather + gmax top_k cost more than the
+narrower iterative top-k saves. Correctness on chip: sub32 ids are
+bit-identical to sub0 (same kernel scores; follow-up check, 0/13056
+mismatches, max |ds| = 0); both deviate from the NUMPY oracle at 2/13056
+slots with max score err 1.19e-7 — the pre-existing, documented Pallas
+accumulation-order ulp near-ties (knn/index.py use_pallas_knn note), not
+a select bug. Decision: default sub=0, knob retained.
+
 Run: python benchmarks/probe_knn_subsel.py   (one TPU process at a time)
 """
 

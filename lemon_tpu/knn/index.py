@@ -138,7 +138,16 @@ def select_sub_width() -> int:
     width drops from k*128 to k*sub at the cost of one narrow group-max
     fold + one k-wide lax.top_k + one small gather. Exactness and the
     FAISS ascending-index tiebreak are preserved by keeping every level's
-    selected ids sorted ascending (tests/test_knn.py sub-select cases).
+    selected ids sorted ascending (tests/test_knn.py sub-select cases;
+    on-chip sub32 is bit-identical to sub0 at 128k db).
+
+    MEASURED (round 4, v5e, probe_knn_subsel at q8192/tile 131072, k=51):
+    the mode LOSES — exact 16.75 -> 13.59/12.53 B pairs/s (sub16/32),
+    bf16x3 24.22 -> 20.44/17.32. The narrow-width saving in the iterative
+    top-k is outweighed by the extra (B, k*128/sub, sub) take_along
+    gather + the gmax lax.top_k, the same XLA-gather tax the round-2
+    candidate-gather work hit. Default stays 0; the knob remains for
+    other (k, tile) regimes and as the recorded negative result.
     """
     return int(os.environ.get("LEMON_TPU_KNN_SUBSEL", 0))
 
