@@ -57,8 +57,6 @@ def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: i
     (vision-only; text measured slower under int8 at every batch —
     BENCH_NOTES round 3); its AUROC drift vs bf16/fp32 is recorded in
     BENCH_NOTES, and the fp32 parity path is untouched."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -87,22 +85,23 @@ def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: i
             )(images)
             params = calibrate_act_scales(model, params, pixels=pixels)
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
+    @jax.jit
     def run(params, imgs_u8, steps):
-        def body(carry, step):
+        # ``steps`` is a TRACED fori_loop bound: one executable serves both
+        # two-point variants (a static scan length would compile twice —
+        # each relay compile costs 20-90 s, see BENCH_NOTES round 4).
+        def body(step, carry):
             # roll by the step index: distinct inputs each step, all steps
             # feed the scalar output -> nothing can be elided
             shifted = jnp.roll(imgs_u8, step, axis=0)
             pixels = preprocess_device(shifted, size=224, pil_rounding=False, precision="default")
             emb = model.apply(params, pixels, method=ClipModel.encode_image)
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-            return carry + jnp.sum(emb.astype(jnp.float32)), ()
+            return carry + jnp.sum(emb.astype(jnp.float32))
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
-        return total
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
-    for steps in (steps_small, steps_large):
-        _timed_scalar(run, params, images, steps)  # compile both variants
+    _timed_scalar(run, params, images, steps_small)  # one compile total
     t_small = min(_timed_scalar(run, params, images, steps_small) for _ in range(3))
     t_large = min(_timed_scalar(run, params, images, steps_large) for _ in range(3))
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
@@ -113,8 +112,6 @@ def bench_text_embeddings(batch_size: int = 96, steps_small: int = 2, steps_larg
     batch 96 unpacked measured fastest on v5e (21.8k; 64 -> 19.5k, 128 ->
     20.7k, 192 -> 21.4k, 256 -> 18.9k; packing loses at L=77 —
     BENCH_NOTES continued session)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -129,62 +126,63 @@ def bench_text_embeddings(batch_size: int = 96, steps_small: int = 2, steps_larg
     tokens[:, -1] = cfg.vocab_size - 1
     tokens = jnp.asarray(tokens)
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
+    @jax.jit
     def run(params, toks, steps):
-        def body(carry, step):
+        def body(step, carry):
             shifted = jnp.roll(toks, step, axis=0)
             emb = model.apply(params, shifted, method=ClipModel.encode_text)
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-            return carry + jnp.sum(emb.astype(jnp.float32)), ()
+            return carry + jnp.sum(emb.astype(jnp.float32))
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
-        return total
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
-    for steps in (steps_small, steps_large):
-        _timed_scalar(run, params, tokens, steps)
+    _timed_scalar(run, params, tokens, steps_small)  # one compile total
     t_small = min(_timed_scalar(run, params, tokens, steps_small) for _ in range(3))
     t_large = min(_timed_scalar(run, params, tokens, steps_large) for _ in range(3))
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
-def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, q_small: int = 1024, q_large: int | None = None, precision: str = "highest") -> float:
+def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, steps_small: int = 1, steps_large: int = 3, precision: str = "highest") -> float:
     """Worst-case k (the paper sweeps k up to 50; +1 for self-exclusion).
-    ``q_large`` defaults to the index's production query chunk so the
-    measured tile geometry is exactly what ExactKnnIndex.search runs."""
+    The query block is the index's production chunk (search_q_chunk), so
+    the measured tile geometry is exactly what ExactKnnIndex.search runs;
+    the two-point variable is a TRACED repeat count (queries rolled per
+    step) so the whole leg costs ONE relay compile per precision."""
     import jax
     import jax.numpy as jnp
 
     from lemon_tpu.knn.index import _tiled_search, auto_tile, search_q_chunk, use_pallas_knn
 
-    if q_large is None:
-        q_large = search_q_chunk()
+    q = search_q_chunk()
     rng = np.random.default_rng(1)
     xb = rng.standard_normal((n_db, d)).astype(np.float32)
     xb /= np.linalg.norm(xb, axis=1, keepdims=True)
-    xq = rng.standard_normal((q_large, d)).astype(np.float32)
+    xq = rng.standard_normal((q, d)).astype(np.float32)
     xq /= np.linalg.norm(xq, axis=1, keepdims=True)
 
-    tile = auto_tile(n_db, q_large)
+    tile = auto_tile(n_db, q)
     pallas = use_pallas_knn()
     xb_dev = jnp.asarray(xb)  # _tiled_search pads internally
+    xq_dev = jnp.asarray(xq)
 
     # the database is an argument (a closure would bake it into the HLO as
     # a constant, which the remote-compile service rejects for large arrays)
     @jax.jit
-    def run(xq_dev, xb_arg):
-        scores, idx = _tiled_search(
-            xq_dev, xb_arg, k=k, metric="ip", tile=tile, n_valid=n_db,
-            use_pallas=pallas, precision=precision,
-        )
-        return jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32)
+    def run(xq_dev, xb_arg, steps):
+        def body(i, carry):
+            qq = jnp.roll(xq_dev, i, axis=0)
+            scores, idx = _tiled_search(
+                qq, xb_arg, k=k, metric="ip", tile=tile, n_valid=n_db,
+                use_pallas=pallas, precision=precision,
+            )
+            return carry + jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32)
 
-    small = jnp.asarray(xq[:q_small])
-    large = jnp.asarray(xq)
-    _timed_scalar(run, small, xb_dev)
-    _timed_scalar(run, large, xb_dev)
-    t_small = min(_timed_scalar(run, small, xb_dev) for _ in range(3))
-    t_large = min(_timed_scalar(run, large, xb_dev) for _ in range(3))
-    return n_db * (q_large - q_small) / max(t_large - t_small, 1e-9)
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
+
+    _timed_scalar(run, xq_dev, xb_dev, steps_small)  # one compile total
+    t_small = min(_timed_scalar(run, xq_dev, xb_dev, steps_small) for _ in range(3))
+    t_large = min(_timed_scalar(run, xq_dev, xb_dev, steps_large) for _ in range(3))
+    return n_db * q * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
 def bench_knn_500k(n: int = 500_000, d: int = 512, k: int = 51) -> float:
@@ -236,8 +234,6 @@ def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: i
     train_clip_from_scratch.py:153-187 hot loop: full fwd+bwd+AdamW update
     with global-batch InfoNCE, as one scanned jit program (two-point
     measurement like every other workload here)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -253,21 +249,22 @@ def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: i
     tokens[:, -1] = cfg.vocab_size - 1
     tokens = jnp.asarray(tokens)
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
+    @jax.jit
     def run(state, pixels, tokens, steps):
-        def body(st, step):
+        def body(step, carry):
+            st, total = carry
+
             def loss_fn(params):
                 logits_i, logits_t = model.apply(params, jnp.roll(pixels, step, 0), jnp.roll(tokens, step, 0))
                 return clip_loss(logits_i, logits_t)
 
             loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            return st.apply_gradients(grads=grads), loss
+            return st.apply_gradients(grads=grads), total + loss
 
-        _, losses = jax.lax.scan(body, state, jnp.arange(steps))
-        return jnp.sum(losses)
+        _, total = jax.lax.fori_loop(0, steps, body, (state, jnp.float32(0)))
+        return total
 
-    for steps in (steps_small, steps_large):
-        _timed_scalar(run, state, pixels, tokens, steps)
+    _timed_scalar(run, state, pixels, tokens, steps_small)  # one compile total
     t_small = min(_timed_scalar(run, state, pixels, tokens, steps_small) for _ in range(2))
     t_large = min(_timed_scalar(run, state, pixels, tokens, steps_large) for _ in range(2))
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
@@ -411,13 +408,18 @@ def run_leg(name: str) -> None:
 # (name, soft cost estimate s, hard per-leg timeout s). Estimates are from
 # round-2/3 measured runs incl. per-process relay compiles; the hard caps
 # bound the damage of a wedged relay call to one leg.
+# Measured (round-4 validation run, slow-relay day): warm-server-cache
+# legs run in 12-56 s; a leg paying FRESH server-side compiles costs
+# ~60-90 s per program, so the caps assume worst-case cold compiles with
+# every leg now needing at most 1-2 of them (traced-steps fori_loop
+# bodies: one executable serves both two-point variants).
 _PLAN = [
-    ("image_bf16", 150, 300),
-    ("knn", 150, 300),
+    ("image_bf16", 120, 300),
+    ("knn", 150, 420),
     ("text", 90, 240),
-    ("image_int8", 210, 390),
-    ("train_bf16", 180, 330),
-    ("knn_500k", 120, 270),
+    ("image_int8", 180, 390),
+    ("train_bf16", 150, 330),
+    ("knn_500k", 140, 360),
     ("e2e", 300, 600),
 ]
 _RESERVE_S = 15  # parent bookkeeping + final print
