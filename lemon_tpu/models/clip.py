@@ -274,11 +274,25 @@ class QuantDense(nn.Module):
     ``act_stats`` collection — a no-op (dead code, DCE'd) unless the
     caller makes that collection mutable, which is exactly what
     calibration does.
+
+    ``weight_only=True`` keeps the SAME param tree (int8 ``kernel_q`` +
+    ``kernel_scale``, plus the ``act_scale`` placeholder under
+    ``static_act``) but dequantizes the kernel and runs an ordinary
+    ``dtype`` matmul with UNQUANTIZED activations. This is the right
+    call when the row count is tiny: in the pooled last block (M = one
+    CLS row per image) the per-row activation quantize plus a starved
+    M=128 int8 dot cost ~0.3 ms MORE than a full-length int8 block —
+    the single largest residual in the round-4 int8_static pipeline
+    decomposition (BENCH_NOTES; benchmarks/probe_int8_decomp.py). The
+    per-step kernel dequant is ~5M multiplies for ViT-B/32's last block,
+    noise next to the matmuls it feeds, and dropping the activation
+    quantize makes the result strictly MORE faithful to fp32.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
     static_act: bool = False
+    weight_only: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -295,7 +309,15 @@ class QuantDense(nn.Module):
             reduce_fn=jnp.maximum,
             init_fn=lambda: jnp.float32(0),
         )
-        if self.static_act:
+        if self.weight_only:
+            if self.static_act:  # keep the param tree identical either way
+                self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+            w = (kernel_q.astype(jnp.float32) * kernel_scale).astype(self.dtype)
+            y = jax.lax.dot_general(
+                x.reshape(-1, d).astype(self.dtype), w,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bias
+        elif self.static_act:
             act_scale = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
             a_q = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
             acc = jax.lax.dot_general(
@@ -467,6 +489,9 @@ class Attention(nn.Module):
             kernel, bias = DenseParams(3 * d, name="qkv")(d)
             qkv = ln_folded_dense(x, kernel, bias, *ln, compute_dtype=self.compute_dtype)
         elif self.matmul_int8:
+            # qkv stays int8 even in the rows-restricted pooled block: its
+            # input is full-length, and weight-only here measured SLOWER
+            # (18.0k vs 18.3k img/s e2e — BENCH_NOTES round 4)
             qkv = QuantDense(3 * d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="qkv")(x)
         else:
             qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(x)
@@ -498,7 +523,13 @@ class Attention(nn.Module):
             out = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
         out = out.reshape(b, q.shape[1], d)
-        proj = QuantDense(d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="out") if self.matmul_int8 else nn.Dense(
+        # rows-restricted output (the pooled last block) has M = one CLS
+        # row per image — too small for the int8 dot to win, so the
+        # projection runs weight-only (probe_int8_decomp, BENCH_NOTES r4)
+        proj = QuantDense(
+            d, dtype=self.compute_dtype, static_act=self.int8_static_act,
+            weight_only=rows is not None, name="out",
+        ) if self.matmul_int8 else nn.Dense(
             d, dtype=self.compute_dtype, name="out")
         return proj(out)
 
@@ -557,11 +588,19 @@ class TransformerBlock(nn.Module):
                 name="attn",
             )(FpLayerNorm(dtype=self.ln_dtype, name="ln_1")(x), mask, rows=rows)
             y = FpLayerNorm(dtype=self.ln_dtype, name="ln_2")(x)
-            fc = QuantDense(4 * d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="mlp_fc") if self.matmul_int8 else nn.Dense(
+            # rows-restricted blocks run the MLP on M = one CLS row per
+            # image: weight-only beats the int8 dot there (BENCH_NOTES r4)
+            fc = QuantDense(
+                4 * d, dtype=self.compute_dtype, static_act=self.int8_static_act,
+                weight_only=rows is not None, name="mlp_fc",
+            ) if self.matmul_int8 else nn.Dense(
                 4 * d, dtype=self.compute_dtype, name="mlp_fc")
             y = fc(y)
         y = act(y)
-        proj = QuantDense(d, dtype=self.compute_dtype, static_act=self.int8_static_act, name="mlp_proj") if self.matmul_int8 else nn.Dense(
+        proj = QuantDense(
+            d, dtype=self.compute_dtype, static_act=self.int8_static_act,
+            weight_only=rows is not None, name="mlp_proj",
+        ) if self.matmul_int8 else nn.Dense(
             d, dtype=self.compute_dtype, name="mlp_proj")
         y = proj(y)
         return x + y

@@ -115,6 +115,77 @@ def test_static_act_quant_dense_and_calibration():
     assert rel < 0.05, rel
 
 
+def test_weight_only_quant_dense_math():
+    """weight_only=True consumes the SAME quantized param tree but runs a
+    dequantized ordinary matmul with unquantized activations — exactly
+    x @ (kernel_q * kernel_scale) + bias. This is the pooled-last-block
+    small-M path (BENCH_NOTES round 4: the int8 dot at M=128 CLS rows
+    cost ~0.3 ms MORE than a full-length int8 block)."""
+    from lemon_tpu.models.clip import QuantDense, quantize_clip_params
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(16, 24)).astype(np.float32)
+    b = rng.normal(size=24).astype(np.float32)
+    x = rng.normal(size=(4, 5, 16)).astype(np.float32)
+
+    for static in (False, True):
+        q = quantize_clip_params({"qkv": {"kernel": w, "bias": b}}, static_act=static)["qkv"]
+        model = QuantDense(24, dtype=jnp.float32, static_act=static, weight_only=True)
+        out = model.apply({"params": q}, jnp.asarray(x))
+        ref = x @ (q["kernel_q"].astype(np.float32) * q["kernel_scale"]) + b
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+        # weight-only error vs the exact fp32 layer is SMALLER than W8A8's
+        # (no activation quantization term)
+        exact = x @ w + b
+        rel = np.abs(np.asarray(out) - exact).max() / np.abs(exact).max()
+        assert rel < 0.02, rel
+        # the param tree is identical to the full-int8 layer's
+        full = QuantDense(24, dtype=jnp.float32, static_act=static)
+        tree_wo = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+        tree_fq = jax.eval_shape(lambda: full.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+        assert jax.tree_util.tree_structure(tree_wo) == jax.tree_util.tree_structure(tree_fq)
+
+
+def test_pooled_block_weight_only_does_not_degrade_alignment():
+    """The pooled int8_static tower (whose last block now runs weight-only
+    projections at M = CLS rows) must track fp32 at least as well as the
+    unpooled all-int8 tower — weight_only drops the activation-quantize
+    error term, so alignment can only improve there."""
+    import dataclasses as dc
+
+    from lemon_tpu.core.precision import Precision
+    from lemon_tpu.models.clip import (
+        ClipConfig,
+        ClipModel,
+        calibrate_act_scales,
+        init_params,
+        quantize_clip_params,
+    )
+
+    cfg = ClipConfig.tiny()
+    model_fp32, params = init_params(cfg, seed=0)
+    q_params = quantize_clip_params(params, static_act=True)
+
+    rng = np.random.default_rng(6)
+    pixels = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+
+    def min_cos(model, p):
+        ref = np.asarray(model_fp32.apply(params, pixels, method="encode_image"), np.float64)
+        got = np.asarray(model.apply(p, pixels, method="encode_image"), np.float64)
+        ref_n = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+        got_n = got / np.linalg.norm(got, axis=-1, keepdims=True)
+        return (ref_n * got_n).sum(-1).min()
+
+    prec = Precision.int8_static()
+    pooled = ClipModel(cfg, precision=prec)
+    unpooled = ClipModel(cfg, precision=dc.replace(prec, pool_last_block=False))
+    qp = calibrate_act_scales(pooled, q_params, pixels=pixels)
+    qu = calibrate_act_scales(unpooled, q_params, pixels=pixels)
+    cos_pooled, cos_unpooled = min_cos(pooled, qp), min_cos(unpooled, qu)
+    assert cos_pooled > 0.97, cos_pooled
+    assert cos_pooled >= cos_unpooled - 1e-3, (cos_pooled, cos_unpooled)
+
+
 def test_static_act_sow_is_inert_without_mutable():
     """The act_amax sow must not leak a variables tree on normal applies
     (it is dead code unless act_stats is mutable)."""
