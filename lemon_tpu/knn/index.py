@@ -217,16 +217,30 @@ def _blockmax_select(sb: jnp.ndarray, bmax: jnp.ndarray, start, k: int, use_pall
         # finite sentinel (pallas_topk does this mapping itself)
         out_s = jnp.where(out_s == _MASKED, _NEG_INF, out_s)
     # Positions encode (block slot, [sub slot,] lane): recover global
-    # columns with k-wide gathers over the per-level id vectors instead of
-    # materializing and gathering a (B, width) column matrix (measured
-    # 0.50 -> ~0.02 us/row at k=51).
+    # columns from the per-level id vectors instead of materializing and
+    # gathering a (B, width) column matrix (measured 0.50 -> ~0.02 us/row
+    # at k=51 isolated).
     if sub:
         gpb = _BLOCK // sub
         flat_sub = jnp.take_along_axis(sub_ids, pos // sub, axis=1)  # in [0, k*gpb)
         slot_ids = jnp.take_along_axis(block_ids, flat_sub // gpb, axis=1)
         idx = start + slot_ids * _BLOCK + (flat_sub % gpb) * sub + pos % sub
     else:
-        slot_ids = jnp.take_along_axis(block_ids, pos // _BLOCK, axis=1)
+        # Even the k-wide take_along pays the XLA gather tax in-context
+        # (~0.3-0.5 us/row inside the fused select at k=51); a (B, k, k)
+        # one-hot HIGHEST matmul against the id vector is bit-exact
+        # (block ids < 2^24 are exact in fp32; each output is one product
+        # 1.0*id plus exact zeros) and rides the MXU. Measured on the full
+        # select composition: 3.10 -> 2.56 us/row same-session
+        # (benchmarks/probe_knn_select3.py --f, v5e, 128k db, k=51).
+        oh = ((pos // _BLOCK)[:, :, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)).astype(jnp.float32)
+        slot_ids = jax.lax.dot_general(
+            oh, block_ids.astype(jnp.float32)[:, :, None],
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[:, :, 0].astype(jnp.int32)
         idx = start + slot_ids * _BLOCK + pos % _BLOCK
     if n_valid is not None:
         # Padding slots (-inf) otherwise carry whatever masked column they
