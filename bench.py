@@ -336,15 +336,18 @@ def _leg_e2e(out, n: int = 20_000):
     analog): synthetic captioning pairs, ViT-B/32, k=50, val/test scoring +
     hparam optimization, including all jit compiles.
 
-    COLD includes pushing ~3.9 GB of uint8 pixels through the remote relay
-    (~25-200 MB/s run-to-run — BENCH_NOTES 'e2e decomposition'); its embed
-    phase is broken out so the compute side stays comparable across
-    rounds, and the observed relay bandwidth is reported explicitly. The
-    single WARM run reuses the embedding cache (the repeat-run mode a
-    sweep over hparams/k/seeds hits: embeddings depend only on data+model,
-    run_lemon.py:136-164), so it measures the detection pipeline proper.
-    Cumulative JSON is emitted after cold, so a timeout during warm keeps
-    the cold result."""
+    The synthetic corpus is 20k 32x32 pairs (~61 MB of pixels — measured
+    round 4; earlier rounds' "3.9 GB through the relay" claim was wrong,
+    see BENCH_NOTES 'warm e2e decomposition'), so the COLD run's wall-clock
+    spread is server compile + relay RPC weather, not pixel transfer; its
+    embed phase (which includes the one-time lazy image render) is broken
+    out so the compute side stays comparable across rounds. The single
+    WARM run reuses the embedding cache (the repeat-run mode a sweep over
+    hparams/k/seeds hits: embeddings depend only on data+model,
+    run_lemon.py:136-164) and — with the round-4 lazy render + generator
+    fingerprint keying — reads zero pixels, so it measures the detection
+    pipeline proper. Cumulative JSON is emitted after cold, so a timeout
+    during warm keeps the cold result."""
     import shutil
     import tempfile
 
@@ -366,9 +369,10 @@ def _leg_e2e(out, n: int = 20_000):
         timing = res.get("phase_timing") or {}
         embed_s = sum(v for p, v in timing.items() if p.startswith("embed_"))
         if embed_s:
+            # embed phase = one-time lazy render + relay transfer (~61 MB)
+            # + on-chip encode; the old e2e_relay_mb_per_s field divided a
+            # FICTIONAL 3.9 GB by this and is retired (round 4).
             out["e2e_detect_20k_embed_seconds"] = round(embed_s, 1)
-            # ~written bytes: n pairs x 256x256x3 uint8 through the relay
-            out["e2e_relay_mb_per_s"] = round(n * 256 * 256 * 3 / embed_s / 1e6, 1)
         _emit(out)
         t0 = time.time()
         res_w = run_detection(cfg)

@@ -341,7 +341,20 @@ def synthetic_captioning(
             images = writer.finish()
         assert len(images) == n
     else:
-        images = np.concatenate([gen_chunk(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)])
+        # Deferred render: the images are a pure function of
+        # (data_seed, n, image_size), so hand the generator (not pixels) to
+        # the pipeline. A warm detection run (embedding-cache hit) reads
+        # zero pixels and skips the ~0.5 ms/img render entirely; a cold run
+        # materializes once at first batch read. The fingerprint is the
+        # embedding-cache identity (ClipEncoder.cache_key).
+        from lemon_tpu.data.streaming import LazyRenderUint8Store
+
+        images = LazyRenderUint8Store(
+            lambda: np.concatenate([gen_chunk(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]),
+            n,
+            (image_size, image_size, 3),
+            token=f"synthetic_captioning:v1:n={n}:size={image_size}:seed={data_seed}",
+        )
 
     from lemon_tpu.data.streaming import subset_images
 

@@ -137,9 +137,75 @@ class IndexedStore:
             idx = np.arange(*idx.indices(len(self)))
         return self._store[self._idx[np.asarray(idx, np.int64)]]
 
+    def fingerprint(self):
+        """Content fingerprint without touching pixels: the base store's
+        fingerprint plus this view's row selection. None when the base
+        store has no cheap identity (memmap shards fall back to the
+        pixel-sample key in ClipEncoder.cache_key)."""
+        base = getattr(self._store, "fingerprint", None)
+        if base is None:
+            return None
+        token = base()
+        if token is None:
+            return None
+        import hashlib
+
+        return f"{token}|rows:{hashlib.md5(self._idx.tobytes()).hexdigest()}"
+
+
+class LazyRenderUint8Store:
+    """Deferred procedural image source: rows exist as (render_fn, params)
+    until pixels are actually read.
+
+    Synthetic corpora (data/datasets.py synthetic_captioning) are pure
+    functions of their seed/shape parameters, yet the eager ram backing
+    paid the full render (~10.5 s at 20k×256²) on EVERY run_detection call
+    — including warm runs that go on to read zero pixels because the
+    embedding cache hits. This store defers rendering to first pixel
+    access (one full materialization, then plain ndarray reads) and
+    exposes the generator parameters as a ``fingerprint()`` so the
+    embedding-cache key (ClipEncoder.cache_key) never forces pixels.
+    """
+
+    def __init__(self, render, n: int, row_shape, token: str):
+        self._render = render
+        self._n = int(n)
+        self._row_shape = tuple(row_shape)
+        self._token = token
+        self._data: np.ndarray | None = None
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def shape(self):
+        return (self._n,) + self._row_shape
+
+    @property
+    def dtype(self):
+        return np.dtype(np.uint8)
+
+    def fingerprint(self) -> str:
+        return self._token
+
+    def materialize(self) -> np.ndarray:
+        if self._data is None:
+            data = np.ascontiguousarray(self._render())
+            assert data.shape == self.shape and data.dtype == np.uint8, (
+                data.shape,
+                data.dtype,
+                self.shape,
+            )
+            self._data = data
+            self._render = None  # free closed-over templates
+        return self._data
+
+    def __getitem__(self, idx) -> np.ndarray:
+        return self.materialize()[idx]
+
 
 def is_lazy_store(images) -> bool:
-    return isinstance(images, (ShardedUint8Store, IndexedStore))
+    return isinstance(images, (ShardedUint8Store, IndexedStore, LazyRenderUint8Store))
 
 
 def subset_images(images, idx: np.ndarray):

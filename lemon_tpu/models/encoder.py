@@ -221,7 +221,14 @@ class ClipEncoder:
             from lemon_tpu.data.streaming import is_lazy_store
 
             h.update(str(split.images.shape).encode())
-            if is_lazy_store(split.images):
+            fp = getattr(split.images, "fingerprint", None)
+            token = fp() if fp is not None else None
+            if token is not None:
+                # Procedural sources (LazyRenderUint8Store and views over
+                # it) carry their generator parameters as identity — a warm
+                # run never renders a pixel just to compute the cache key.
+                h.update(token.encode())
+            elif is_lazy_store(split.images):
                 # Don't materialize an out-of-RAM store: a strided 64-row
                 # sample plus the shape is the fingerprint.
                 sample = split.images[

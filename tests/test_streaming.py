@@ -178,3 +178,64 @@ def test_prefetcher_close_unblocks_worker():
     assert next(it) == 0
     p.close()
     assert not p._t.is_alive()
+
+
+def test_lazy_render_store_defers_until_pixel_read():
+    """synthetic ram backing renders zero pixels until a batch is read; a
+    warm detection run (embedding-cache hit via the fingerprint key) never
+    pays the render (round-4 warm-e2e decomposition: ~10.5 s of a ~18 s
+    warm run was eager synthesis)."""
+    from lemon_tpu.data.streaming import LazyRenderUint8Store
+
+    calls = {"n": 0}
+
+    def render():
+        calls["n"] += 1
+        return np.arange(5 * 2 * 2 * 3, dtype=np.uint8).reshape(5, 2, 2, 3)
+
+    s = LazyRenderUint8Store(render, 5, (2, 2, 3), token="t:v1")
+    assert is_lazy_store(s)
+    assert s.shape == (5, 2, 2, 3) and s.dtype == np.uint8 and len(s) == 5
+    assert s.fingerprint() == "t:v1"
+    assert calls["n"] == 0  # shape/len/fingerprint never render
+    ref = np.arange(5 * 2 * 2 * 3, dtype=np.uint8).reshape(5, 2, 2, 3)
+    np.testing.assert_array_equal(s[np.array([4, 0])], ref[[4, 0]])
+    np.testing.assert_array_equal(s[1:3], ref[1:3])
+    np.testing.assert_array_equal(s[2], ref[2])
+    assert calls["n"] == 1  # one materialization, then plain reads
+
+    # subset keeps laziness AND the fingerprint identity (row-aware)
+    s2 = LazyRenderUint8Store(render, 5, (2, 2, 3), token="t:v1")
+    view = subset_images(s2, np.array([3, 1]))
+    fp_a = view.fingerprint()
+    fp_b = subset_images(s2, np.array([1, 3])).fingerprint()
+    assert fp_a and fp_b and fp_a != fp_b
+    assert fp_a.startswith("t:v1|rows:")
+
+
+def test_synthetic_caption_ram_backing_is_lazy(monkeypatch, tmp_path):
+    """get_dataset('synthetic_caption') returns deferred-render splits whose
+    materialized pixels bit-match the eager generator, and whose cache keys
+    are computed without rendering."""
+    monkeypatch.setenv("LEMON_TPU_DATA_ROOT", str(tmp_path))
+    splits = get_dataset("synthetic_caption", 0, noise_level=0.4, noise_type="random", synthetic_n=120)
+    for s in splits:
+        assert is_lazy_store(s.images)
+        fp = s.images.fingerprint()
+        assert fp and "synthetic_captioning:v1" in fp
+
+    from lemon_tpu.models.registry import create_encoder
+
+    enc = create_encoder("tiny", seed=0, batch_size=32)
+    train = splits[0]
+    base_store = train.images._store  # IndexedStore over the render store
+    texts = list(train.sentence)
+    key = enc.cache_key(train, texts)
+    assert base_store._data is None, "cache_key must not render pixels"
+    # key is stable and text-sensitive
+    assert key == enc.cache_key(train, texts)
+    assert key != enc.cache_key(train, ["x"] + texts[1:])
+    # materialized pixels match the eager render
+    px = train.images[np.arange(len(train))]
+    assert px.dtype == np.uint8 and px.shape[1:] == (32, 32, 3)
+    assert base_store._data is not None
