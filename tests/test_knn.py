@@ -266,3 +266,31 @@ def test_sub_select_multi_tile_and_padding():
     d, i = index.search(xq, k)
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_select_kernel_matches_shipped_select():
+    """ops/select.fused_gather_topk (one-kernel gather+topk+recon) is
+    bit-exact vs the shipped three-dispatch _blockmax_select, including
+    masked tails and duplicate scores (interpret mode on CPU; the on-chip
+    probe is benchmarks/probe_knn_select_fused.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.knn.index import _blockmax_select
+    from lemon_tpu.ops.scoremax import fused_scores_blockmax
+    from lemon_tpu.ops.select import fused_gather_topk, supports
+
+    n_db, d, k, q = 2048, 32, 7, 40
+    rng = np.random.default_rng(7)
+    xb_h = rng.standard_normal((n_db, d)).astype(np.float32)
+    xb_h[100] = xb_h[611]  # duplicate rows -> tie broken by ascending id
+    xb, xq = jnp.asarray(xb_h), jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+    assert supports(n_db // 128, k)
+    for n_valid in (n_db, n_db - 77, 140):  # full, ragged tail, k*128 > n_valid
+        sb, bmax = fused_scores_blockmax(xq, xb, "ip", None, start=0, n_valid=n_valid, precision="high")
+        a_s, a_i = _blockmax_select(sb, bmax, 0, k, True, gather="onehot", n_valid=n_valid)
+        _, bids = jax.lax.top_k(bmax, k)
+        f_s, f_i = fused_gather_topk(sb, jnp.sort(bids, axis=1), k)
+        f_i = jnp.where(jnp.isneginf(f_s), n_valid, f_i)
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(f_i))
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(f_s), rtol=0, atol=0)
