@@ -9,11 +9,15 @@ as a subprocess leg under BOTH a global wall-clock budget
 (LEMON_BENCH_BUDGET_S, default 1260 s) and a per-leg timeout. Legs run
 serially (the relay tolerates one client at a time — BENCH_NOTES) and
 print cumulative JSON after every completed sub-measurement, so a leg
-killed mid-flight still contributes everything it finished. The parent
-merges whatever it got and ALWAYS prints the final JSON line — on leg
-failure, on budget exhaustion, and (via SIGTERM/SIGINT handler) even
-when an outer driver timeout fires first. A hung relay call can
-therefore cost at most one leg's timeout, never the whole bench.
+killed mid-flight still contributes everything it finished. Failed legs
+get ONE retry each with whatever budget the main plan left: a timeout
+usually means the leg died mid-compile on a congested relay, and the
+relay's server-side compile cache keeps everything the first attempt
+compiled, so retries run from warm cache. The parent merges whatever it
+got and ALWAYS prints the final JSON line — on leg failure, on budget
+exhaustion, and (via SIGTERM/SIGINT handler) even when an outer driver
+timeout fires first. A hung relay call can therefore cost at most one
+leg's timeout, never the whole bench.
 
 Measurement notes (tunneled-TPU-safe): dispatch timing lies on the axon
 remote platform (block_until_ready returns before execution) and bulk host
@@ -37,6 +41,15 @@ import sys
 import time
 
 import numpy as np
+
+
+_T0 = time.time()
+
+
+def _note(msg: str) -> None:
+    """Timestamped stderr phase note: legs run under hard caps, so when one
+    times out the last note says which relay call ate the budget."""
+    print(f"[leg +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _timed_scalar(fn, *args) -> float:
@@ -72,18 +85,23 @@ def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: i
 
     cfg = ClipConfig.vit_b32()
     precision = Precision.int8_static() if mode == "int8_static" else Precision.bf16()
+    _note(f"embed[{mode}]: init_params")
     model, params = init_params(cfg, seed=0, precision=precision)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch_size, 256, 256, 3), np.uint8))
     if precision.matmul_int8:
+        _note(f"embed[{mode}]: quantize params")
         params = quantize_clip_params_jit(params, static_act=precision.int8_static_act)
         if precision.int8_static_act:
             # jitted prep: eager ops through the tunnel each pay a compile
+            _note(f"embed[{mode}]: calibrate act scales")
             pixels = jax.jit(
                 lambda im: preprocess_device(im, size=224, pil_rounding=False, precision="default")
             )(images)
             params = calibrate_act_scales(model, params, pixels=pixels)
+
+    _note(f"embed[{mode}]: params ready, compiling run program")
 
     @jax.jit
     def run(params, imgs_u8, steps):
@@ -102,8 +120,10 @@ def bench_embeddings(batch_size: int = 128, steps_small: int = 2, steps_large: i
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
     _timed_scalar(run, params, images, steps_small)  # one compile total
+    _note(f"embed[{mode}]: compiled, timing")
     t_small = min(_timed_scalar(run, params, images, steps_small) for _ in range(3))
     t_large = min(_timed_scalar(run, params, images, steps_large) for _ in range(3))
+    _note(f"embed[{mode}]: done")
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
 
 
@@ -136,7 +156,9 @@ def bench_text_embeddings(batch_size: int = 96, steps_small: int = 2, steps_larg
 
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
+    _note("text: compiling run program")
     _timed_scalar(run, params, tokens, steps_small)  # one compile total
+    _note("text: compiled, timing")
     t_small = min(_timed_scalar(run, params, tokens, steps_small) for _ in range(3))
     t_large = min(_timed_scalar(run, params, tokens, steps_large) for _ in range(3))
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
@@ -179,7 +201,9 @@ def bench_knn(n_db: int = 131_072, d: int = 512, k: int = 51, steps_small: int =
 
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
+    _note(f"knn[{precision}]: compiling run program")
     _timed_scalar(run, xq_dev, xb_dev, steps_small)  # one compile total
+    _note(f"knn[{precision}]: compiled, timing")
     t_small = min(_timed_scalar(run, xq_dev, xb_dev, steps_small) for _ in range(3))
     t_large = min(_timed_scalar(run, xq_dev, xb_dev, steps_large) for _ in range(3))
     return n_db * q * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
@@ -216,12 +240,59 @@ def bench_knn_500k(n: int = 500_000, d: int = 512, k: int = 51) -> float:
         return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
 
     # compile outside the timed region (a user amortizes it across runs)
+    _note("knn_scale: data on device, compiling search program")
     float(run_chunk(jax.lax.dynamic_slice_in_dim(xb, 0, q_chunk, 0), xb))
+    _note("knn_scale: compiled, running")
     t0 = time.perf_counter()
     parts = []
     for start in range(0, n, q_chunk):
         # chunks dispatch async; the final scalar fetch forces the lot
         # (overlapping last-chunk row repeats keep shapes static)
+        chunk = jax.lax.dynamic_slice_in_dim(xb, min(start, n - q_chunk), q_chunk, 0)
+        parts.append(run_chunk(chunk, xb))
+    total = float(jnp.sum(jnp.stack(parts)))
+    assert np.isfinite(total)
+    return time.perf_counter() - t0
+
+
+def bench_knn_1m(n: int = 1_000_000, d: int = 512, k: int = 51) -> float:
+    """Beyond-the-acceptance-bar scale point: exact kNN over 1M x 1M pairs
+    (20x the reference's 50k FAISS-CPU cap, run_lemon.py:48,122-127; 2x the
+    BASELINE.json 500k acceptance target). Same methodology as
+    :func:`bench_knn_500k` — on-device data, compile outside the timed
+    region, async chunk dispatch forced by one final scalar fetch. The
+    database is 2 GB fp32 on HBM; the auto tile keeps each (8192, tile)
+    score block inside the 4 GB budget (8 tiles -> the multi-tile scan +
+    merge path, unlike the single-tile 131k geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemon_tpu.knn.index import _tiled_search, auto_tile, use_pallas_knn, search_q_chunk
+
+    def dev_unit(key, shape):
+        f = jax.jit(lambda s: (lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True))(
+            jax.random.normal(s, shape, jnp.float32)))
+        x = f(jax.random.PRNGKey(key))
+        x.block_until_ready()
+        return x
+
+    xb = dev_unit(0, (n, d))
+    q_chunk = search_q_chunk()
+    tile = auto_tile(n, q_chunk)
+    pallas = use_pallas_knn()
+
+    @jax.jit
+    def run_chunk(xq_dev, xb_arg):
+        s, i = _tiled_search(xq_dev, xb_arg, k=k, metric="ip", tile=tile,
+                             n_valid=n, use_pallas=pallas)
+        return jnp.sum(s) + jnp.sum(i).astype(jnp.float32)
+
+    _note("knn_scale: data on device, compiling search program")
+    float(run_chunk(jax.lax.dynamic_slice_in_dim(xb, 0, q_chunk, 0), xb))
+    _note("knn_scale: compiled, running")
+    t0 = time.perf_counter()
+    parts = []
+    for start in range(0, n, q_chunk):
         chunk = jax.lax.dynamic_slice_in_dim(xb, min(start, n - q_chunk), q_chunk, 0)
         parts.append(run_chunk(chunk, xb))
     total = float(jnp.sum(jnp.stack(parts)))
@@ -264,7 +335,9 @@ def bench_train_step(batch_size: int = 256, steps_small: int = 1, steps_large: i
         _, total = jax.lax.fori_loop(0, steps, body, (state, jnp.float32(0)))
         return total
 
+    _note("train: compiling run program")
     _timed_scalar(run, state, pixels, tokens, steps_small)  # one compile total
+    _note("train: compiled, timing")
     t_small = min(_timed_scalar(run, state, pixels, tokens, steps_small) for _ in range(2))
     t_large = min(_timed_scalar(run, state, pixels, tokens, steps_large) for _ in range(2))
     return batch_size * (steps_large - steps_small) / max(t_large - t_small, 1e-9)
@@ -326,6 +399,11 @@ def _leg_knn_500k(out):
     _emit(out)
 
 
+def _leg_knn_1m(out):
+    out["knn_1m_seconds"] = round(bench_knn_1m(), 1)
+    _emit(out)
+
+
 def _leg_train_bf16(out):
     out["clip_train_pairs_per_sec_bf16"] = round(bench_train_step(precision="bf16"), 1)
     _emit(out)
@@ -360,6 +438,7 @@ def _leg_e2e(out, n: int = 20_000):
     cache_dir = tempfile.mkdtemp(prefix="lemon_bench_emb_")
     cfg = _e2e_config(n, cache_dir)
     try:
+        _note("e2e: cold run_detection")
         t0 = time.time()
         res = run_detection(cfg)
         wall = time.time() - t0
@@ -374,6 +453,7 @@ def _leg_e2e(out, n: int = 20_000):
             # FICTIONAL 3.9 GB by this and is retired (round 4).
             out["e2e_detect_20k_embed_seconds"] = round(embed_s, 1)
         _emit(out)
+        _note("e2e: warm run_detection")
         t0 = time.time()
         res_w = run_detection(cfg)
         out["e2e_detect_20k_warm_seconds"] = round(time.time() - t0, 1)
@@ -390,6 +470,7 @@ _LEGS = {
     "text": _leg_text,
     "knn": _leg_knn,
     "knn_500k": _leg_knn_500k,
+    "knn_1m": _leg_knn_1m,
     "train_bf16": _leg_train_bf16,
     "e2e": _leg_e2e,
 }
@@ -401,6 +482,7 @@ def run_leg(name: str) -> None:
     from lemon_tpu.core import enable_compilation_cache
 
     enable_compilation_cache()
+    _note("leg start: jax imported, resolving backend")
     out = {"backend": jax.default_backend()}
     _emit(out)  # even an immediately-hung leg reports the backend
     _LEGS[name](out)
@@ -425,6 +507,9 @@ _PLAN = [
     ("train_bf16", 150, 330),
     ("knn_500k", 140, 360),
     ("e2e", 300, 600),
+    # optional beyond-scale point: only runs when the budget has room left
+    # after every headline leg (the parent skips it otherwise)
+    ("knn_1m", 130, 300),
 ]
 _RESERVE_S = 15  # parent bookkeeping + final print
 
@@ -472,15 +557,26 @@ def main() -> None:
     signal.signal(signal.SIGTERM, finalize)
     signal.signal(signal.SIGINT, finalize)
 
-    for name, est, cap in _PLAN:
+    def attempt(name: str, est: float, cap: float, share: int = 0) -> bool:
+        """Run one leg subprocess; returns True on clean completion.
+
+        ``share > 0`` marks a retry splitting the remaining budget with
+        ``share - 1`` other still-failed legs: a retry gets its slice of
+        what is LEFT, not the cap that already failed once — every other
+        leg has had its turn by then, and a killed server-side compile
+        does NOT persist in the relay's cache (measured round 4), so two
+        identically-capped attempts just abandon the same compile twice,
+        while one long attempt lands it."""
         remaining = budget - _RESERVE_S - (time.time() - t_start)
         if remaining < min(60, est):
-            skipped.append(name)
+            if not share:
+                skipped.append(name)
             print(f"[bench] skip {name}: {remaining:.0f}s left", file=sys.stderr, flush=True)
-            continue
-        leg_timeout = min(cap, remaining)
+            return False
+        leg_timeout = remaining / share if share else min(cap, remaining)
         print(f"[bench] leg {name} (timeout {leg_timeout:.0f}s)", file=sys.stderr, flush=True)
         t0 = time.time()
+        ok = False
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__), "--leg", name],
@@ -491,14 +587,34 @@ def main() -> None:
                 text=True,
             )
             _merge_from_lines(result, proc.stdout)
-            if proc.returncode != 0:
-                failed.append(name)
+            ok = proc.returncode == 0
         except subprocess.TimeoutExpired as e:
             stdout_text = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="replace")
             _merge_from_lines(result, stdout_text)
-            failed.append(name)
             print(f"[bench] leg {name} timed out at {leg_timeout:.0f}s", file=sys.stderr, flush=True)
-        leg_seconds[name] = time.time() - t0
+            # the relay serves one client at a time; give it a beat to reap
+            # the SIGKILLed leg's session before the next client connects
+            time.sleep(10)
+        leg_seconds[name] = leg_seconds.get(name, 0.0) + (time.time() - t0)
+        return ok
+
+    for name, est, cap in _PLAN:
+        if not attempt(name, est, cap) and name not in skipped:
+            failed.append(name)
+
+    # Retry pass: a timed-out leg usually died mid-compile on a congested
+    # relay, and the relay's SERVER-side compile cache keeps whatever its
+    # first attempt finished compiling (keyed on HLO, cross-process —
+    # BENCH_NOTES round 4) — so a second attempt resumes from warm cache
+    # and typically completes in well under a minute. Spend whatever
+    # budget the main plan left on one retry per failed leg, in plan
+    # order (headline legs first).
+    for name, est, cap in _PLAN:
+        if name not in failed:
+            continue
+        print(f"[bench] retry {name}", file=sys.stderr, flush=True)
+        if attempt(name, est, cap, share=len(failed)):
+            failed.remove(name)
 
     finalize()
 
