@@ -121,25 +121,29 @@ def _texts_for_split(cfg: DetectionConfig, split, label_set) -> Tuple[List[str],
 
 
 @jax.jit
-def _components_cosine(img, txt, txt_nb, img_nb, dtr_n, dtr_m):
+def _components_cosine(img, txt, txt_tr, img_tr, dists_tr, I_n, I_m):
     """All per-example score components in one fused program.
 
-    img/txt: (B, D) query embeddings; txt_nb/img_nb: (B, k, D) gathered
-    neighbor embeddings; dtr_*: (B, k) neighbor pair-distances.
-    """
+    img/txt: (B, D) query embeddings; txt_tr/img_tr: (N, D) comparison-set
+    embeddings (device-resident, shared with the kNN indexes); dists_tr:
+    (N,) comparison-set pair-distances; I_n/I_m: (B, k) neighbor ids. The
+    neighbor gathers happen INSIDE the program: the former eager
+    ``txt_tr[I_n]`` indexing paid a separate tunnel dispatch per gather
+    and materialized each (B, k, D) tensor in HBM between dispatches
+    (BENCH_NOTES round 4, warm-e2e decomposition)."""
     hp = jax.lax.Precision.HIGHEST
     d1 = 1.0 - jnp.sum(img * txt, axis=1)
-    dists_n = 1.0 - jnp.einsum("bd,bkd->bk", txt, txt_nb, precision=hp)
-    dists_m = 1.0 - jnp.einsum("bd,bkd->bk", img, img_nb, precision=hp)
-    return d1, dists_n, dists_m, dtr_n, dtr_m
+    dists_n = 1.0 - jnp.einsum("bd,bkd->bk", txt, txt_tr[I_n], precision=hp)
+    dists_m = 1.0 - jnp.einsum("bd,bkd->bk", img, img_tr[I_m], precision=hp)
+    return d1, dists_n, dists_m, dists_tr[I_n], dists_tr[I_m]
 
 
 @jax.jit
-def _components_euclidean(img, txt, txt_nb, img_nb, dtr_n, dtr_m):
+def _components_euclidean(img, txt, txt_tr, img_tr, dists_tr, I_n, I_m):
     d1 = jnp.sum((img - txt) ** 2, axis=1)
-    dists_n = jnp.sum((txt[:, None, :] - txt_nb) ** 2, axis=2)
-    dists_m = jnp.sum((img[:, None, :] - img_nb) ** 2, axis=2)
-    return d1, dists_n, dists_m, dtr_n, dtr_m
+    dists_n = jnp.sum((txt[:, None, :] - txt_tr[I_n]) ** 2, axis=2)
+    dists_m = jnp.sum((img[:, None, :] - img_tr[I_m]) ** 2, axis=2)
+    return d1, dists_n, dists_m, dists_tr[I_n], dists_tr[I_m]
 
 
 def _d1_normalized(cfg: DetectionConfig, img: np.ndarray, label_embs: np.ndarray, noisy_labels: np.ndarray) -> np.ndarray:
@@ -255,20 +259,24 @@ def build_neighbor_logs(
             # bound them at ~1.7 GB each while keeping the dispatches
             # large. Results are per-row independent, so chunking is
             # exact; static chunk shape = one compile (+ one for the
-            # remainder chunk).
+            # remainder chunk). The comparison-set matrices ride the kNN
+            # indexes' own device arrays (uploaded once per detection, at
+            # index finalize) rather than a fresh per-split upload.
             chunk = 16384
-            txt_tr_dev = jnp.asarray(txt_tr)
-            img_tr_dev = jnp.asarray(img_tr)
+            if mesh is None:
+                txt_tr_dev = index_txt.device_array()
+                img_tr_dev = index_img.device_array()
+            else:  # sharded indexes keep shard-padded layouts; upload plain
+                txt_tr_dev = jnp.asarray(txt_tr)
+                img_tr_dev = jnp.asarray(img_tr)
             dists_tr_dev = jnp.asarray(dists_tr)
             parts = []
             for start in range(0, len(img), chunk):
                 sl = slice(start, start + chunk)
-                In_c = jnp.asarray(I_n[sl])
-                Im_c = jnp.asarray(I_m[sl])
                 parts.append(fn(
                     jnp.asarray(img[sl]), jnp.asarray(txt[sl]),
-                    txt_tr_dev[In_c], img_tr_dev[Im_c],
-                    dists_tr_dev[In_c], dists_tr_dev[Im_c],
+                    txt_tr_dev, img_tr_dev, dists_tr_dev,
+                    jnp.asarray(I_n[sl]), jnp.asarray(I_m[sl]),
                 ))
             d1, dists_n, dists_m, dtr_n, dtr_m = [
                 np.concatenate([np.asarray(p[j]) for p in parts]) if len(parts) > 1 else np.asarray(parts[0][j])

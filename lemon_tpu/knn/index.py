@@ -504,6 +504,17 @@ class ExactKnnIndex:
             self._shard_valid = jnp.asarray(valid)
             self._search_fns = {}
 
+    def device_array(self):
+        """The index's device-resident database (single-device 'device'
+        backend only): callers that need the same embeddings for other
+        device work (e.g. detect.py's neighbor-component program) reuse
+        this array instead of paying a second host->device upload of the
+        identical matrix — on the tunneled TPU that upload is ~0.5 s per
+        32 MB (BENCH_NOTES round 4, warm-e2e decomposition)."""
+        assert self.backend == "device" and self.mesh is None
+        self._finalize()
+        return self._xb
+
     def search(self, xq: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores, indices), both (B, k).
 
