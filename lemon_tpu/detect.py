@@ -245,8 +245,22 @@ def build_neighbor_logs(
 
         extra = 1 if sname == "train" else 0
         with timer.phase("knn_search"):
-            D_n, I_n = index_img.search(img, k + extra)
-            D_m, I_m = index_txt.search(txt, k + extra)
+            # One upload per query matrix, shared between the searches and
+            # the components program below (each 8 MB host->device transfer
+            # through the tunnel costs ~0.12 s; the old path paid it twice
+            # per matrix). The sharded path keeps host arrays — the sharded
+            # search fn distributes its own input.
+            if mesh is None:
+                if img is img_tr:  # train split == comparison set: already up
+                    img_q = index_img.device_array()
+                    txt_q = index_txt.device_array()
+                else:
+                    img_q = jnp.asarray(np.ascontiguousarray(img, dtype=np.float32))
+                    txt_q = jnp.asarray(np.ascontiguousarray(txt, dtype=np.float32))
+            else:
+                img_q, txt_q = img, txt
+            D_n, I_n = index_img.search(img_q, k + extra)
+            D_m, I_m = index_txt.search(txt_q, k + extra)
         if sname == "train":
             D_n, I_n = train_split_exclusion(D_n, I_n, None, in_compr)
             D_m, I_m = train_split_exclusion(D_m, I_m, None, in_compr)
@@ -274,7 +288,7 @@ def build_neighbor_logs(
             for start in range(0, len(img), chunk):
                 sl = slice(start, start + chunk)
                 parts.append(fn(
-                    jnp.asarray(img[sl]), jnp.asarray(txt[sl]),
+                    jnp.asarray(img_q[sl]), jnp.asarray(txt_q[sl]),
                     txt_tr_dev, img_tr_dev, dists_tr_dev,
                     jnp.asarray(I_n[sl]), jnp.asarray(I_m[sl]),
                 ))

@@ -525,7 +525,14 @@ class ExactKnnIndex:
             from lemon_tpu.knn import cpp_backend
 
             return cpp_backend.search(self._xb_host, np.asarray(xq), k, self.metric)
-        xq = np.ascontiguousarray(xq, dtype=np.float32)
+        if not isinstance(xq, jax.Array):
+            xq = np.ascontiguousarray(xq, dtype=np.float32)
+        else:
+            # Device-resident queries ride as-is (callers that already hold
+            # the matrix on the device — e.g. detect.py shares one upload
+            # between search and the components program — must not pay a
+            # device->host->device round trip here).
+            assert xq.dtype == jnp.float32, xq.dtype
         if self.mesh is None:
             # Chunk queries so the adaptive tile stays large (the tile, not
             # the query batch, drives select/merge cost); chunks dispatch

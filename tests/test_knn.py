@@ -294,3 +294,22 @@ def test_fused_select_kernel_matches_shipped_select():
         f_i = jnp.where(jnp.isneginf(f_s), n_valid, f_i)
         np.testing.assert_array_equal(np.asarray(a_i), np.asarray(f_i))
         np.testing.assert_allclose(np.asarray(a_s), np.asarray(f_s), rtol=0, atol=0)
+
+
+def test_device_resident_queries_match_host_queries():
+    """search() accepts device-resident (jax.Array) queries — the path
+    detect.py uses to share one upload between search and the components
+    program — and must return bit-identical results to the host-array
+    path; device_array() must expose the exact database rows."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    xb = normed(rng, 300, 32)
+    xq = normed(rng, 53, 32)
+    index = ExactKnnIndex(metric="ip", tile=128)
+    index.add(xb)
+    d_host, i_host = index.search(xq, 9)
+    d_dev, i_dev = index.search(jnp.asarray(xq), 9)
+    np.testing.assert_array_equal(i_dev, i_host)
+    np.testing.assert_array_equal(d_dev, d_host)
+    np.testing.assert_array_equal(np.asarray(index.device_array()), xb)
