@@ -496,11 +496,16 @@ def run_leg(name: str) -> None:
 # bound the damage of a wedged relay call to one leg.
 # Measured (round-4 validation run, slow-relay day): warm-server-cache
 # legs run in 12-56 s; a leg paying FRESH server-side compiles costs
-# ~60-90 s per program, so the caps assume worst-case cold compiles with
-# every leg now needing at most 1-2 of them (traced-steps fori_loop
-# bodies: one executable serves both two-point variants).
+# ~60-90 s per program normally — but a late-round-4 relay stall wave
+# measured single compiles at 166 s (text), 315 s (bf16 embed) and
+# 513 s (e2e embed), and the server cache evicted programs within
+# ~30-40 min under other tenants' load. Since a KILLED compile does not
+# persist server-side, the headline legs carry caps sized for one
+# stall-wave compile (one long attempt lands it; two short ones abandon
+# it twice); later legs keep tighter caps and degrade to skips, which
+# is the right failure order (headline fields first).
 _PLAN = [
-    ("image_bf16", 120, 300),
+    ("image_bf16", 120, 420),
     ("knn", 150, 420),
     ("text", 90, 240),
     ("image_int8", 180, 390),
