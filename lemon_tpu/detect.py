@@ -429,6 +429,37 @@ def select_and_evaluate(cfg: DetectionConfig, logs: NeighborLogs, timer=None) ->
     return results, df
 
 
+# One-entry encoder cache for in-process repeat runs (the sweep / warm-bench
+# regime: same frozen model scored under many hparam/k/seed configs,
+# run_lemon.py:112-115 rebuilds it per process). Re-initializing ViT-B/32
+# costs seconds per call even with the jitted init cached; the encoder is
+# frozen apart from the one-shot int8 activation calibration, whose reuse
+# is exactly the documented lazy-calibration contract (core/precision.py).
+# Bounded to ONE entry so a multi-model sweep cannot accumulate device
+# params; any key change (model, seed, batch, precision, ckpt, mesh)
+# rebuilds.
+_ENCODER_CACHE: Dict[tuple, ClipEncoder] = {}
+
+
+def _cached_encoder(cfg: DetectionConfig, mesh) -> ClipEncoder:
+    from lemon_tpu.core.precision import default_precision
+
+    key = (
+        cfg.clip_model, cfg.seed, cfg.batch_size, cfg.checkpoint,
+        cfg.mesh_shape, default_precision(), jax.default_backend(),
+    )
+    if key not in _ENCODER_CACHE:
+        _ENCODER_CACHE.clear()
+        _ENCODER_CACHE[key] = create_encoder(
+            cfg.clip_model,
+            seed=cfg.seed,
+            batch_size=cfg.batch_size,
+            mesh=mesh,
+            checkpoint=cfg.checkpoint,
+        )
+    return _ENCODER_CACHE[key]
+
+
 def run_detection(cfg: DetectionConfig, out_dir: Optional[Path] = None) -> Dict:
     """Full pipeline; writes the reference output contract when ``out_dir``
     is given (res.pkl / {criteria}_scores.csv / done)."""
@@ -455,13 +486,7 @@ def run_detection(cfg: DetectionConfig, out_dir: Optional[Path] = None) -> Dict:
         splits["val"] = splits["val"].subset(pick)
 
     label_set = _labels_for(cfg)
-    encoder = create_encoder(
-        cfg.clip_model,
-        seed=cfg.seed,
-        batch_size=cfg.batch_size,
-        mesh=mesh,
-        checkpoint=cfg.checkpoint,
-    )
+    encoder = _cached_encoder(cfg, mesh)
 
     t0 = time.time()
     logs, timing = build_neighbor_logs(cfg, encoder, splits, label_set, mesh=mesh)
