@@ -2,22 +2,42 @@
 throughput on the local accelerator. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Round-4 structure (the round-3 bench died at the driver's timeout with
-zero output — rc 124, BENCH_r03.json): a thin HOST-ONLY parent process
-(no jax import, so it never blocks on the TPU relay) runs each workload
-as a subprocess leg under BOTH a global wall-clock budget
-(LEMON_BENCH_BUDGET_S, default 1260 s) and a per-leg timeout. Legs run
-serially (the relay tolerates one client at a time — BENCH_NOTES) and
-print cumulative JSON after every completed sub-measurement, so a leg
-killed mid-flight still contributes everything it finished. Failed legs
-get ONE retry each with whatever budget the main plan left: a timeout
-usually means the leg died mid-compile on a congested relay, and the
-relay's server-side compile cache keeps everything the first attempt
-compiled, so retries run from warm cache. The parent merges whatever it
-got and ALWAYS prints the final JSON line — on leg failure, on budget
-exhaustion, and (via SIGTERM/SIGINT handler) even when an outer driver
-timeout fires first. A hung relay call can therefore cost at most one
-leg's timeout, never the whole bench.
+Round-5 structure — SURVIVAL-FIRST scheduling. Rounds 3 and 4 both
+recorded zero driver-side numbers: r3 died at the driver timeout
+(rc 124) and r4's plan burned 1255 s on four consecutive leg timeouts
+in a relay stall wave (single server-side compiles measured at
+315–513 s, above every per-leg cap; a KILLED compile does not persist
+server-side, so same-cap retries abandon the same compile twice).
+Arithmetic: in a stall wave a 1260 s budget admits at most TWO fresh
+compiles, so a plan that attempts four legs before securing one result
+is guaranteed zero. The fix:
+
+1. The HEADLINE leg (image bf16 + text, merged into one subprocess to
+   amortize the ~11–20 s import/backend handshake) runs FIRST with a
+   cap sized to the worst measured stall-wave compile (640 s > 513 s).
+2. If it times out, the parent retries the SAME leg immediately with
+   ALL remaining budget — not a shared slice, and no other leg runs
+   before the headline number exists. Completed server-side compiles
+   persist across attempts, so attempt 2 resumes where attempt 1's
+   finished compiles left off.
+3. Retried legs SKIP sub-measurements already captured (the parent
+   passes the have-keys via LEMON_BENCH_HAVE), so a retry of the merged
+   leg jumps straight to the missing part.
+4. Only after the headline number lands do surplus legs run, cheapest
+   compile first, each under its own cap; then one shared-budget retry
+   pass over whatever failed.
+
+A thin HOST-ONLY parent process (no jax import, so it never blocks on
+the TPU relay) runs each workload as a subprocess leg under BOTH a
+global wall-clock budget (LEMON_BENCH_BUDGET_S, default 1260 s) and a
+per-leg timeout. Legs run serially (the relay tolerates one client at a
+time — BENCH_NOTES) and print cumulative JSON after every completed
+sub-measurement, so a leg killed mid-flight still contributes everything
+it finished. The parent merges whatever it got and ALWAYS prints the
+final JSON line — on leg failure, on budget exhaustion, and (via
+SIGTERM/SIGINT handler) even when an outer driver timeout fires first.
+A hung relay call can therefore cost at most one leg's timeout, never
+the whole bench.
 
 Measurement notes (tunneled-TPU-safe): dispatch timing lies on the axon
 remote platform (block_until_ready returns before execution) and bulk host
@@ -363,10 +383,30 @@ def _e2e_config(n: int, cache_dir: str):
 # ---------------------------------------------------------------------------
 # leg runners: each prints CUMULATIVE JSON after every completed
 # sub-measurement, so a timeout mid-leg keeps everything finished so far.
+# Sub-measurements whose keys the parent already holds (LEMON_BENCH_HAVE)
+# are skipped, so a retried leg resumes at its first missing field.
+
+_HAVE_KEYS: frozenset = frozenset()
 
 
 def _emit(out: dict):
     print(json.dumps(out), flush=True)
+
+
+def _done(key: str) -> bool:
+    return key in _HAVE_KEYS
+
+
+def _leg_headline(out):
+    """The survival leg: the bf16 image number (the bench's `value` field)
+    first, then text in the same process — one import/backend handshake
+    for both towers."""
+    if not _done("image_embeddings_per_sec_bf16"):
+        out["image_embeddings_per_sec_bf16"] = round(bench_embeddings(mode="bf16"), 1)
+        _emit(out)
+    if not _done("text_embeddings_per_sec"):
+        out["text_embeddings_per_sec"] = round(bench_text_embeddings(), 1)
+        _emit(out)
 
 
 def _leg_image_bf16(out):
@@ -387,11 +427,13 @@ def _leg_text(out):
 
 
 def _leg_knn(out):
-    out["knn_pairs_per_sec"] = round(bench_knn(), 0)
-    _emit(out)
+    if not _done("knn_pairs_per_sec"):
+        out["knn_pairs_per_sec"] = round(bench_knn(), 0)
+        _emit(out)
     # opt-in bf16x3 fast mode shares the leg (same arrays, second compile)
-    out["knn_pairs_per_sec_bf16x3"] = round(bench_knn(precision="high"), 0)
-    _emit(out)
+    if not _done("knn_pairs_per_sec_bf16x3"):
+        out["knn_pairs_per_sec_bf16x3"] = round(bench_knn(precision="high"), 0)
+        _emit(out)
 
 
 def _leg_knn_500k(out):
@@ -465,6 +507,7 @@ def _leg_e2e(out, n: int = 20_000):
 
 
 _LEGS = {
+    "headline": _leg_headline,
     "image_bf16": _leg_image_bf16,
     "image_int8": _leg_image_int8,
     "text": _leg_text,
@@ -477,6 +520,9 @@ _LEGS = {
 
 
 def run_leg(name: str) -> None:
+    global _HAVE_KEYS
+    _HAVE_KEYS = frozenset(json.loads(os.environ.get("LEMON_BENCH_HAVE", "[]")))
+
     import jax
 
     from lemon_tpu.core import enable_compilation_cache
@@ -491,23 +537,25 @@ def run_leg(name: str) -> None:
 # ---------------------------------------------------------------------------
 # parent orchestrator (host-only: never imports jax, never touches the relay)
 
-# (name, soft cost estimate s, hard per-leg timeout s). Estimates are from
-# round-2/3 measured runs incl. per-process relay compiles; the hard caps
-# bound the damage of a wedged relay call to one leg.
-# Measured (round-4 validation run, slow-relay day): warm-server-cache
-# legs run in 12-56 s; a leg paying FRESH server-side compiles costs
-# ~60-90 s per program normally — but a late-round-4 relay stall wave
-# measured single compiles at 166 s (text), 315 s (bf16 embed) and
-# 513 s (e2e embed), and the server cache evicted programs within
-# ~30-40 min under other tenants' load. Since a KILLED compile does not
-# persist server-side, the headline legs carry caps sized for one
-# stall-wave compile (one long attempt lands it; two short ones abandon
-# it twice); later legs keep tighter caps and degrade to skips, which
-# is the right failure order (headline fields first).
-_PLAN = [
-    ("image_bf16", 120, 420),
+# Cost model (round-4 measurements): warm-server-cache legs run in
+# 12-56 s; a leg paying FRESH server-side compiles costs ~60-90 s per
+# program normally — but the late-round-4 relay stall wave measured
+# single compiles at 166 s (text), 315 s (bf16 embed) and 513 s (e2e
+# embed), and the server cache evicted programs within ~30-40 min under
+# other tenants' load. A KILLED compile does not persist server-side.
+#
+# The headline leg's FIRST cap must therefore exceed the worst measured
+# single compile (513 s) so one long attempt can land it; subsequent
+# headline attempts get ALL remaining budget (a second identical cap
+# would abandon the same compile twice). Surplus legs keep tighter caps
+# and degrade to skips — the right failure order (headline field first).
+_HEADLINE_FIRST_CAP_S = 640
+_HEADLINE_KEY = "image_embeddings_per_sec_bf16"  # = the JSON `value` field
+
+# (name, soft cost estimate s, hard per-leg timeout s), run only once the
+# headline number exists, in this order.
+_SURPLUS_PLAN = [
     ("knn", 150, 420),
-    ("text", 90, 240),
     ("image_int8", 180, 390),
     ("train_bf16", 150, 330),
     ("knn_500k", 140, 360),
@@ -562,24 +610,16 @@ def main() -> None:
     signal.signal(signal.SIGTERM, finalize)
     signal.signal(signal.SIGINT, finalize)
 
-    def attempt(name: str, est: float, cap: float, share: int = 0) -> bool:
-        """Run one leg subprocess; returns True on clean completion.
+    def remaining_s() -> float:
+        return budget - _RESERVE_S - (time.time() - t_start)
 
-        ``share > 0`` marks a retry splitting the remaining budget with
-        ``share - 1`` other still-failed legs: a retry gets its slice of
-        what is LEFT, not the cap that already failed once — every other
-        leg has had its turn by then, and a killed server-side compile
-        does NOT persist in the relay's cache (measured round 4), so two
-        identically-capped attempts just abandon the same compile twice,
-        while one long attempt lands it."""
-        remaining = budget - _RESERVE_S - (time.time() - t_start)
-        if remaining < min(60, est):
-            if not share:
-                skipped.append(name)
-            print(f"[bench] skip {name}: {remaining:.0f}s left", file=sys.stderr, flush=True)
-            return False
-        leg_timeout = remaining / share if share else min(cap, remaining)
+    def attempt(name: str, leg_timeout: float) -> bool:
+        """Run one leg subprocess under ``leg_timeout``; merge whatever it
+        printed; True on clean completion. The current result keys ride
+        along in LEMON_BENCH_HAVE so a retried leg skips finished
+        sub-measurements."""
         print(f"[bench] leg {name} (timeout {leg_timeout:.0f}s)", file=sys.stderr, flush=True)
+        env = {**os.environ, "LEMON_BENCH_HAVE": json.dumps(sorted(result.keys()))}
         t0 = time.time()
         ok = False
         try:
@@ -589,6 +629,7 @@ def main() -> None:
                 stderr=sys.stderr,
                 timeout=leg_timeout,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env,
                 text=True,
             )
             _merge_from_lines(result, proc.stdout)
@@ -603,22 +644,49 @@ def main() -> None:
         leg_seconds[name] = leg_seconds.get(name, 0.0) + (time.time() - t0)
         return ok
 
-    for name, est, cap in _PLAN:
-        if not attempt(name, est, cap) and name not in skipped:
+    # --- Phase 1: SURVIVAL. Land the headline number before anything else.
+    # First attempt capped just above the worst measured stall-wave compile;
+    # on timeout, retry the SAME leg with ALL remaining budget (completed
+    # server-side compiles persist, so each attempt makes forward progress;
+    # attempting other legs first buys nothing — round 4 measured 4
+    # consecutive timeouts and zero numbers that way). A fast rc!=0 failure
+    # (a code bug, not relay weather) breaks out after two tries.
+    quick_failures = 0
+    attempts = 0
+    while _HEADLINE_KEY not in result and remaining_s() >= 60 and attempts < 4 and quick_failures < 2:
+        cap = min(_HEADLINE_FIRST_CAP_S, remaining_s()) if attempts == 0 else remaining_s()
+        t0 = time.time()
+        attempt("headline", cap)
+        if _HEADLINE_KEY not in result and time.time() - t0 < 30:
+            quick_failures += 1
+        attempts += 1
+    headline_complete = _HEADLINE_KEY in result and "text_embeddings_per_sec" in result
+    if not headline_complete:
+        failed.append("headline")  # retry pass may still pick up text
+
+    # --- Phase 2: surplus legs, only now that the headline field exists.
+    for name, est, cap in _SURPLUS_PLAN:
+        if remaining_s() < min(60, est):
+            skipped.append(name)
+            print(f"[bench] skip {name}: {remaining_s():.0f}s left", file=sys.stderr, flush=True)
+            continue
+        if not attempt(name, min(cap, remaining_s())):
             failed.append(name)
 
-    # Retry pass: a timed-out leg usually died mid-compile on a congested
-    # relay, and the relay's SERVER-side compile cache keeps whatever its
-    # first attempt finished compiling (keyed on HLO, cross-process —
-    # BENCH_NOTES round 4) — so a second attempt resumes from warm cache
-    # and typically completes in well under a minute. Spend whatever
-    # budget the main plan left on one retry per failed leg, in plan
-    # order (headline legs first).
-    for name, est, cap in _PLAN:
-        if name not in failed:
+    # --- Phase 3: retry pass. A timed-out leg usually died mid-compile on
+    # a congested relay, and the relay's SERVER-side compile cache keeps
+    # whatever its first attempt finished compiling (keyed on HLO,
+    # cross-process — BENCH_NOTES round 4) — so a second attempt resumes
+    # from warm cache, skips captured sub-measurements, and typically
+    # completes in well under a minute. Each retry gets its share of what
+    # is LEFT, not the cap that already failed once.
+    for name in list(failed):
+        rem = remaining_s()
+        if rem < 60:
+            print(f"[bench] skip retry {name}: {rem:.0f}s left", file=sys.stderr, flush=True)
             continue
         print(f"[bench] retry {name}", file=sys.stderr, flush=True)
-        if attempt(name, est, cap, share=len(failed)):
+        if attempt(name, rem / len(failed)):
             failed.remove(name)
 
     finalize()
