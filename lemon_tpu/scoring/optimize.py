@@ -284,19 +284,26 @@ def maximize_metric(
             best_val = val
             best_x = np.asarray(x, np.float64)
 
-    with timer.phase("hparam_scipy"):
-        for x0 in x0s:
-            for method in scipy_methods:
-                res = minimize(
-                    _objective,
-                    np.asarray(x0, np.float64),
-                    args=(logs_val, y, obj_func, obj_func_args, force_zero, force_one),
-                    method=method,
-                    options={},
-                )
-                if -res.fun > best_val:
-                    best_val = float(-res.fun)
-                    best_x = res.x
+    if not use_device_grid:
+        # Strict-parity mode: the reference's full restart ensemble —
+        # every (x0, method) pair runs host scipy under the true objective
+        # (lib/metrics/utils.py:151-171). ~2.8 s on a 20k val split; on the
+        # device path this is replaced by a single post-grid Powell polish
+        # from the best device-found candidate (below), which keeps the
+        # true-objective local refinement at ~1/8th the host cost.
+        with timer.phase("hparam_scipy"):
+            for x0 in x0s:
+                for method in scipy_methods:
+                    res = minimize(
+                        _objective,
+                        np.asarray(x0, np.float64),
+                        args=(logs_val, y, obj_func, obj_func_args, force_zero, force_one),
+                        method=method,
+                        options={},
+                    )
+                    if -res.fun > best_val:
+                        best_val = float(-res.fun)
+                        best_x = res.x
 
     with timer.phase("hparam_proxy_lbfgs"):
         x0_list = list(x0s)
@@ -327,6 +334,24 @@ def maximize_metric(
                 consider(row)
 
     assert best_x is not None
+
+    if use_device_grid:
+        # Single host Powell polish from the best device-found candidate:
+        # the device proxy optimizes a smooth surrogate and the grid is
+        # quantized, so one true-objective local refinement recovers the
+        # ensemble's quality without its 8-restart cost.
+        with timer.phase("hparam_scipy"):
+            res = minimize(
+                _objective,
+                np.asarray(best_x, np.float64),
+                args=(logs_val, y, obj_func, obj_func_args, force_zero, force_one),
+                method="Powell",
+                options={},
+            )
+            if -res.fun > best_val:
+                best_val = float(-res.fun)
+                best_x = res.x
+
     for c, name in enumerate(HPARAM_ORDER):
         if name in force_zero:
             best_x[c] = 0.0
