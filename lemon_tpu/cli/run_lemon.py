@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None, help="mesh shape as DATAxMODEL, e.g. 8x1")
     p.add_argument("--knn_tile", default=0, type=int,
                    help="DB tile rows; 0 = adaptive (largest tile whose score block fits a 4GB budget)")
+    p.add_argument("--knn_precision", default="auto", choices=["auto", "highest", "high"],
+                   help="kNN score-matmul precision: 'highest' = full fp32 "
+                        "(FAISS-parity), 'high' = bf16x3 (2.1x MXU); 'auto' "
+                        "per detect.DetectionConfig.knn_precision")
     p.add_argument("--embedding_cache", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--synthetic_n", default=600, type=int)
@@ -130,6 +134,7 @@ def main(argv=None):
         strict_hparam_parity=args.strict_hparam_parity,
         synthetic_n=args.synthetic_n,
         knn_tile=args.knn_tile,
+        knn_precision=args.knn_precision,
         mesh_shape=mesh_shape,
         embedding_cache=args.embedding_cache,
         checkpoint=args.checkpoint,

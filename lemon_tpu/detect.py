@@ -82,10 +82,27 @@ class DetectionConfig:
     # framework extensions (no reference counterpart)
     synthetic_n: int = 600
     knn_tile: int = 0  # 0 = adaptive tile (knn/index.py:auto_tile)
+    # kNN score-matmul precision: 'highest' = full fp32 (FAISS-parity),
+    # 'high' = bf16x3 (2.1x MXU throughput, ~3.5e-6 score error, measured
+    # 99.9% identical neighbor sets — BENCH_NOTES round 3/4). 'auto'
+    # resolves to 'highest' for now; flipped to 'high' for non-strict runs
+    # only if the e2e AUROC gate (round-5) holds the 1e-3 bar.
+    knn_precision: str = "auto"
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device
     embedding_cache: Optional[str] = None
     checkpoint: Optional[str] = None
     grid: Optional[Dict] = None
+
+
+def _resolve_knn_precision(cfg: DetectionConfig) -> str:
+    """'auto' keeps full fp32 until the round-5 e2e gate decides otherwise;
+    strict-parity (golden) runs always stay fp32 regardless."""
+    if cfg.knn_precision == "auto":
+        return "highest"
+    if cfg.knn_precision == "high" and cfg.strict_hparam_parity:
+        return "highest"
+    assert cfg.knn_precision in ("highest", "high"), cfg.knn_precision
+    return cfg.knn_precision
 
 
 def prompt_fn(cfg: DetectionConfig):
@@ -209,8 +226,9 @@ def build_neighbor_logs(
 
     metric = "ip" if cfg.dist_type == "cosine" else "l2"
     tile = cfg.knn_tile or None  # 0/None -> adaptive
-    index_img = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh)
-    index_txt = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh)
+    knn_prec = _resolve_knn_precision(cfg)
+    index_img = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh, precision=knn_prec)
+    index_txt = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh, precision=knn_prec)
     index_img.add(img_tr)
     index_txt.add(txt_tr)
     if cfg.dist_type == "cosine":

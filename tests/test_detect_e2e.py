@@ -215,3 +215,38 @@ def test_embedding_cache_keys_on_precision(tmp_path, monkeypatch):
     run_detection(DetectionConfig(**base))
     n_both = len(list((tmp_path / "cache").glob("emb_*.npz")))
     assert n_both > n_fp32, "bf16 run reused the fp32 cache entries"
+
+
+def test_knn_precision_resolution():
+    """'auto' stays fp32 until the round-5 e2e gate flips it; explicit
+    'high' is honored for non-strict runs but never for golden (strict-
+    parity) runs, whose contract is FAISS-exact fp32 scores."""
+    from lemon_tpu.detect import _resolve_knn_precision
+
+    assert _resolve_knn_precision(DetectionConfig(knn_precision="highest")) == "highest"
+    assert _resolve_knn_precision(DetectionConfig(knn_precision="high")) == "high"
+    assert _resolve_knn_precision(
+        DetectionConfig(knn_precision="high", strict_hparam_parity=True)
+    ) == "highest"
+
+
+def test_knn_precision_high_cpu_identical(caption_run, tmp_path):
+    """precision='high' swaps the neighbor-id reconstruction to the one-hot
+    path (knn/index.py); on CPU the matmul precision hint itself is a
+    no-op, so the whole detection result must be IDENTICAL — any diff
+    would implicate the gather/select path, not bf16x3 rounding."""
+    cfg, _, res = caption_run
+    import dataclasses
+
+    cfg_h = dataclasses.replace(cfg, knn_precision="high")
+    res_h = run_detection(cfg_h, tmp_path)
+    agg, agg_h = res["agg_results"], res_h["agg_results"]
+    for crit in agg:
+        for split in ("val", "test"):
+            assert agg_h[crit][split]["AUROC"] == pytest.approx(
+                agg[crit][split]["AUROC"], abs=1e-12
+            )
+    col = "know_val_labels_pred_score"
+    np.testing.assert_allclose(
+        res_h["df"][col].to_numpy(), res["df"][col].to_numpy(), rtol=0, atol=1e-6
+    )
