@@ -70,8 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DB tile rows; 0 = adaptive (largest tile whose score block fits a 4GB budget)")
     p.add_argument("--knn_precision", default="auto", choices=["auto", "highest", "high"],
                    help="kNN score-matmul precision: 'highest' = full fp32 "
-                        "(FAISS-parity), 'high' = bf16x3 (2.1x MXU); 'auto' "
-                        "per detect.DetectionConfig.knn_precision")
+                        "(FAISS-parity), 'high' = bf16x3 (2.1x MXU); 'auto' = "
+                        "bf16x3 unless --strict_hparam_parity (e2e-gated, "
+                        "AUROC delta 9.5e-05 vs the 1e-3 bar)")
     p.add_argument("--embedding_cache", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--synthetic_n", default=600, type=int)

@@ -83,10 +83,12 @@ class DetectionConfig:
     synthetic_n: int = 600
     knn_tile: int = 0  # 0 = adaptive tile (knn/index.py:auto_tile)
     # kNN score-matmul precision: 'highest' = full fp32 (FAISS-parity),
-    # 'high' = bf16x3 (2.1x MXU throughput, ~3.5e-6 score error, measured
-    # 99.9% identical neighbor sets — BENCH_NOTES round 3/4). 'auto'
-    # resolves to 'highest' for now; flipped to 'high' for non-strict runs
-    # only if the e2e AUROC gate (round-5) holds the 1e-3 bar.
+    # 'high' = bf16x3 (+41% search throughput, ~3.5e-6 score error,
+    # measured 99.9% identical neighbor sets — BENCH_NOTES round 3/4).
+    # 'auto' resolves to 'high' for non-strict runs: the round-5 e2e gate
+    # (full 20k detection A/B, benchmarks/probe_bf16x3_gate.py) measured
+    # max AUROC delta 9.5e-05 vs the 1e-3 parity bar. Strict-parity
+    # (golden) runs always stay fp32 — their contract is FAISS-exact.
     knn_precision: str = "auto"
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device
     embedding_cache: Optional[str] = None
@@ -95,12 +97,14 @@ class DetectionConfig:
 
 
 def _resolve_knn_precision(cfg: DetectionConfig) -> str:
-    """'auto' keeps full fp32 until the round-5 e2e gate decides otherwise;
-    strict-parity (golden) runs always stay fp32 regardless."""
+    """'auto' -> bf16x3 ('high') for non-strict runs: the round-5 e2e gate
+    held the 1e-3 AUROC bar (delta 9.5e-05 on a full 20k detection A/B —
+    BENCH_NOTES round 5). Strict-parity (golden) runs always stay fp32
+    regardless of the requested mode."""
+    if cfg.strict_hparam_parity:
+        return "highest"
     if cfg.knn_precision == "auto":
-        return "highest"
-    if cfg.knn_precision == "high" and cfg.strict_hparam_parity:
-        return "highest"
+        return "high"
     assert cfg.knn_precision in ("highest", "high"), cfg.knn_precision
     return cfg.knn_precision
 

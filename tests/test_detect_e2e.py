@@ -218,16 +218,18 @@ def test_embedding_cache_keys_on_precision(tmp_path, monkeypatch):
 
 
 def test_knn_precision_resolution():
-    """'auto' stays fp32 until the round-5 e2e gate flips it; explicit
-    'high' is honored for non-strict runs but never for golden (strict-
-    parity) runs, whose contract is FAISS-exact fp32 scores."""
+    """'auto' resolves to bf16x3 for non-strict runs (the round-5 e2e gate
+    measured AUROC delta 9.5e-05 vs the 1e-3 bar); golden (strict-parity)
+    runs are pinned to FAISS-exact fp32 whatever the requested mode."""
     from lemon_tpu.detect import _resolve_knn_precision
 
     assert _resolve_knn_precision(DetectionConfig(knn_precision="highest")) == "highest"
     assert _resolve_knn_precision(DetectionConfig(knn_precision="high")) == "high"
-    assert _resolve_knn_precision(
-        DetectionConfig(knn_precision="high", strict_hparam_parity=True)
-    ) == "highest"
+    assert _resolve_knn_precision(DetectionConfig(knn_precision="auto")) == "high"
+    for mode in ("auto", "high", "highest"):
+        assert _resolve_knn_precision(
+            DetectionConfig(knn_precision=mode, strict_hparam_parity=True)
+        ) == "highest"
 
 
 def test_knn_precision_high_cpu_identical(caption_run, tmp_path):
