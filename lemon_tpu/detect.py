@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import pickle
 import time
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -195,6 +196,39 @@ def _cache_kwargs(cfg, encoder, split, texts) -> dict:
     )
 
 
+# Device-resident embedding cache for in-process repeat detections: the
+# warm path reads embeddings from the npz cache but still paid the kNN
+# index-finalize uploads (2 x ~40 MB for a 20k comparison set) plus one
+# ~8 MB pair per scored split, every run — ~1.8 s of the 6.0 s warm 20k
+# profile was exactly these relay transfers (BENCH_NOTES round-4
+# follow-ups). Keyed on the same content-addressed embed cache_key
+# (weights fingerprint + rendered texts + image source + precision), so
+# a hit is bit-identical by construction. Bounded to 4 entries (compr +
+# val + test + one slack) so a sweep over models/noise configs rotates
+# through without accumulating HBM.
+_DEV_EMB_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_DEV_EMB_CACHE_MAX = 4
+
+
+def _device_embs(cache_key: Optional[str], img: np.ndarray, txt: np.ndarray):
+    """(img, txt) as device-resident float32 arrays, reused across
+    run_detection calls when a content-addressed key is available."""
+    key = None if cache_key is None else (cache_key, jax.default_backend())
+    hit = _DEV_EMB_CACHE.get(key) if key is not None else None
+    if hit is None:
+        hit = (
+            jnp.asarray(np.ascontiguousarray(img, dtype=np.float32)),
+            jnp.asarray(np.ascontiguousarray(txt, dtype=np.float32)),
+        )
+        if key is not None:
+            _DEV_EMB_CACHE[key] = hit
+            while len(_DEV_EMB_CACHE) > _DEV_EMB_CACHE_MAX:
+                _DEV_EMB_CACHE.popitem(last=False)
+    else:
+        _DEV_EMB_CACHE.move_to_end(key)
+    return hit
+
+
 def build_neighbor_logs(
     cfg: DetectionConfig,
     encoder: ClipEncoder,
@@ -223,18 +257,24 @@ def build_neighbor_logs(
 
     timer = PhaseTimer()
     compr_texts, _, _, _ = _texts_for_split(cfg, compr, label_set)
+    compr_kwargs = _cache_kwargs(cfg, encoder, compr, compr_texts)
     with timer.phase("embed_compr"):
-        img_tr, txt_tr = encoder.embed_split(
-            compr, compr_texts, **_cache_kwargs(cfg, encoder, compr, compr_texts)
-        )
+        img_tr, txt_tr = encoder.embed_split(compr, compr_texts, **compr_kwargs)
 
     metric = "ip" if cfg.dist_type == "cosine" else "l2"
     tile = cfg.knn_tile or None  # 0/None -> adaptive
     knn_prec = _resolve_knn_precision(cfg)
     index_img = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh, precision=knn_prec)
     index_txt = ExactKnnIndex(metric=metric, tile=tile, mesh=mesh, precision=knn_prec)
-    index_img.add(img_tr)
-    index_txt.add(txt_tr)
+    if mesh is None:
+        # Device-adopted databases: a warm repeat run reuses the cached
+        # device arrays and the index-finalize uploads vanish.
+        img_tr_dev, txt_tr_dev = _device_embs(compr_kwargs.get("cache_key"), img_tr, txt_tr)
+        index_img.add(img_tr_dev)
+        index_txt.add(txt_tr_dev)
+    else:
+        index_img.add(img_tr)
+        index_txt.add(txt_tr)
     if cfg.dist_type == "cosine":
         dists_tr = 1.0 - np.sum(txt_tr * img_tr, axis=1)
     else:
@@ -257,13 +297,12 @@ def build_neighbor_logs(
     for sname in names:
         split = splits[sname]
         noisy_texts, clean_texts, noisy_labels, actual_labels = _texts_for_split(cfg, split, label_set)
+        split_kwargs = _cache_kwargs(cfg, encoder, split, noisy_texts)
         if sname == "train" and n_train <= cfg.compr_dataset_size_limit:
             img, txt = img_tr, txt_tr  # same transform -> identical embeddings
         else:
             with timer.phase(f"embed_{sname}"):
-                img, txt = encoder.embed_split(
-                    split, noisy_texts, **_cache_kwargs(cfg, encoder, split, noisy_texts)
-                )
+                img, txt = encoder.embed_split(split, noisy_texts, **split_kwargs)
 
         extra = 1 if sname == "train" else 0
         with timer.phase("knn_search"):
@@ -277,8 +316,7 @@ def build_neighbor_logs(
                     img_q = index_img.device_array()
                     txt_q = index_txt.device_array()
                 else:
-                    img_q = jnp.asarray(np.ascontiguousarray(img, dtype=np.float32))
-                    txt_q = jnp.asarray(np.ascontiguousarray(txt, dtype=np.float32))
+                    img_q, txt_q = _device_embs(split_kwargs.get("cache_key"), img, txt)
             else:
                 img_q, txt_q = img, txt
             D_n, I_n = index_img.search(img_q, k + extra)

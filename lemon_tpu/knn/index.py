@@ -470,7 +470,24 @@ class ExactKnnIndex:
     def ntotal(self) -> int:
         return self._n
 
-    def add(self, xb: np.ndarray) -> None:
+    def add(self, xb) -> None:
+        """Host arrays are uploaded at finalize; an already device-resident
+        float32 array (single-device 'device' backend only) is adopted
+        as-is, skipping the upload — detect.py's warm path feeds cached
+        device embeddings here, saving ~0.5 s per 32 MB through the
+        tunnel (BENCH_NOTES round 5)."""
+        if (
+            isinstance(xb, jax.Array)
+            and not isinstance(xb, np.ndarray)
+            and self.backend == "device"
+            and self.mesh is None
+        ):
+            assert not self._chunks and self._xb is None, "mixing device and host adds is unsupported"
+            self._xb = xb if xb.dtype == jnp.float32 else xb.astype(jnp.float32)
+            self._xb_host = None
+            self._n = int(xb.shape[0])
+            return
+        assert self._xb is None or self._chunks, "cannot append host chunks to a device-adopted index"
         self._chunks.append(np.ascontiguousarray(xb, dtype=np.float32))
         self._xb = None
         self._xb_host = None

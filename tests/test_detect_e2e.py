@@ -252,3 +252,42 @@ def test_knn_precision_high_cpu_identical(caption_run, tmp_path):
     np.testing.assert_allclose(
         res_h["df"][col].to_numpy(), res["df"][col].to_numpy(), rtol=0, atol=1e-6
     )
+
+
+def test_device_embedding_cache_repeat_run(tmp_path):
+    """In-process repeat detections with an embedding cache reuse the
+    device-resident embedding arrays (the round-5 warm-path lever: index
+    finalize re-uploads vanish). The cache must be populated, bounded,
+    keyed content-addressed — and the repeat result bit-identical."""
+    import dataclasses
+
+    from lemon_tpu import detect as detect_mod
+
+    cfg = DetectionConfig(
+        dataset="synthetic_caption",
+        noise_type="random",
+        noise_level=0.4,
+        clip_model="tiny",
+        knn_k=5,
+        batch_size=64,
+        synthetic_n=240,
+        grid=SMALL_GRID,
+        embedding_cache=str(tmp_path / "emb"),
+    )
+    detect_mod._DEV_EMB_CACHE.clear()
+    res1 = run_detection(cfg, tmp_path / "o1")
+    keys_after_first = set(detect_mod._DEV_EMB_CACHE)
+    assert keys_after_first, "device-embedding cache not populated"
+    assert len(keys_after_first) <= detect_mod._DEV_EMB_CACHE_MAX
+    cached_ids = {id(a) for pair in detect_mod._DEV_EMB_CACHE.values() for a in pair}
+    res2 = run_detection(cfg, tmp_path / "o2")
+    # same keys (no churn), same arrays (reuse, not re-upload)
+    assert set(detect_mod._DEV_EMB_CACHE) == keys_after_first
+    assert {id(a) for pair in detect_mod._DEV_EMB_CACHE.values() for a in pair} == cached_ids
+    col = "know_val_labels_pred_score"
+    np.testing.assert_array_equal(
+        res1["df"][col].to_numpy(), res2["df"][col].to_numpy()
+    )
+    for crit, splits in res1["agg_results"].items():
+        for split in ("val", "test"):
+            assert res2["agg_results"][crit][split]["AUROC"] == splits[split]["AUROC"]

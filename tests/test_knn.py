@@ -313,3 +313,31 @@ def test_device_resident_queries_match_host_queries():
     np.testing.assert_array_equal(i_dev, i_host)
     np.testing.assert_array_equal(d_dev, d_host)
     np.testing.assert_array_equal(np.asarray(index.device_array()), xb)
+
+
+def test_device_adopted_database_matches_host_add():
+    """add() adopts an already device-resident float32 database without a
+    re-upload (detect.py's warm-path device-embedding cache feeds this);
+    search results, ntotal, and device_array() must be bit-identical to
+    the host-add path, and mixing host chunks afterwards is rejected."""
+    import jax.numpy as jnp
+
+    import pytest
+
+    rng = np.random.default_rng(11)
+    xb = normed(rng, 260, 32)
+    xq = normed(rng, 41, 32)
+    host_idx = ExactKnnIndex(metric="ip", tile=128)
+    host_idx.add(xb)
+    dev_idx = ExactKnnIndex(metric="ip", tile=128)
+    dev_arr = jnp.asarray(xb)
+    dev_idx.add(dev_arr)
+    assert dev_idx.device_array() is dev_arr  # adopted, not copied
+    assert dev_idx.ntotal == 260  # known immediately (host path: at finalize)
+    d_h, i_h = host_idx.search(xq, 7)
+    d_d, i_d = dev_idx.search(xq, 7)
+    assert host_idx.ntotal == 260
+    np.testing.assert_array_equal(i_d, i_h)
+    np.testing.assert_array_equal(d_d, d_h)
+    with pytest.raises(AssertionError):
+        dev_idx.add(xb)
