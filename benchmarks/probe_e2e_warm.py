@@ -55,7 +55,7 @@ def main():
         _texts_for_split,
         run_detection,
     )
-    from lemon_tpu.models.encoder import create_encoder
+    from lemon_tpu.models.registry import create_encoder
 
     print(f"backend: {jax.default_backend()}  n={n}", flush=True)
     cache_dir = tempfile.mkdtemp(prefix="lemon_probe_emb_")
