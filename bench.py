@@ -545,18 +545,28 @@ def run_leg(name: str) -> None:
 # other tenants' load. A KILLED compile does not persist server-side.
 #
 # The headline leg's FIRST cap must therefore exceed the worst measured
-# single compile (513 s) so one long attempt can land it; subsequent
-# headline attempts get ALL remaining budget (a second identical cap
-# would abandon the same compile twice). Surplus legs keep tighter caps
-# and degrade to skips — the right failure order (headline field first).
-_HEADLINE_FIRST_CAP_S = 640
+# single compile so one long attempt can land it; subsequent headline
+# attempts get ALL remaining budget (a second identical cap would
+# abandon the same compile twice). Round 5 measured the bf16 encoder —
+# this exact leg's program — recompiling in 790 s during a stall wave
+# (BENCH_NOTES "Warm e2e endpoint"), up from round 4's worst of 513 s;
+# a 640 s cap would kill that compile mid-flight and the ~590 s retry
+# could not restart it (killed compiles do not persist), so the first
+# cap now rides out the measured worst case. The cost is only paid in
+# weather where shorter caps would have recorded zero anyway. Surplus
+# legs keep tighter caps and degrade to skips — the right failure
+# order (headline field first).
+_HEADLINE_FIRST_CAP_S = 940
 _HEADLINE_KEY = "image_embeddings_per_sec_bf16"  # = the JSON `value` field
 
 # (name, soft cost estimate s, hard per-leg timeout s), run only once the
 # headline number exists, in this order.
 _SURPLUS_PLAN = [
-    ("knn", 150, 420),
+    # image_int8 first: it is the one surplus leg that can RAISE the
+    # headline `value` field (finalize takes max(bf16, int8) and int8
+    # measures +6-10% same-session, drift study round 5)
     ("image_int8", 180, 390),
+    ("knn", 150, 420),
     ("train_bf16", 150, 330),
     ("knn_500k", 140, 360),
     ("e2e", 300, 600),
