@@ -544,19 +544,13 @@ def run_leg(name: str) -> None:
 # embed), and the server cache evicted programs within ~30-40 min under
 # other tenants' load. A KILLED compile does not persist server-side.
 #
-# The headline leg's FIRST cap must therefore exceed the worst measured
-# single compile so one long attempt can land it; subsequent headline
-# attempts get ALL remaining budget (a second identical cap would
-# abandon the same compile twice). Round 5 measured the bf16 encoder —
-# this exact leg's program — recompiling in 790 s during a stall wave
-# (BENCH_NOTES "Warm e2e endpoint"), up from round 4's worst of 513 s;
-# a 640 s cap would kill that compile mid-flight and the ~590 s retry
-# could not restart it (killed compiles do not persist), so the first
-# cap now rides out the measured worst case. The cost is only paid in
-# weather where shorter caps would have recorded zero anyway. Surplus
+# The headline leg therefore runs UNCAPPED (every attempt gets all
+# remaining budget — see the Phase 1 comment in main() for the round-5
+# measurement that killed the staged-cap design: a stall-wave compile
+# of this leg's single program ran past a 940 s first cap, and the
+# kill+retry split turned a landable compile into value 0.0). Surplus
 # legs keep tighter caps and degrade to skips — the right failure
 # order (headline field first).
-_HEADLINE_FIRST_CAP_S = 940
 _HEADLINE_KEY = "image_embeddings_per_sec_bf16"  # = the JSON `value` field
 
 # (name, soft cost estimate s, hard per-leg timeout s), run only once the
@@ -655,16 +649,23 @@ def main() -> None:
         return ok
 
     # --- Phase 1: SURVIVAL. Land the headline number before anything else.
-    # First attempt capped just above the worst measured stall-wave compile;
-    # on timeout, retry the SAME leg with ALL remaining budget (completed
-    # server-side compiles persist, so each attempt makes forward progress;
-    # attempting other legs first buys nothing — round 4 measured 4
-    # consecutive timeouts and zero numbers that way). A fast rc!=0 failure
-    # (a code bug, not relay weather) breaks out after two tries.
+    # EVERY attempt gets ALL remaining budget. The headline's image
+    # measurement is ONE jitted program and killed compiles do not persist
+    # server-side, so for this leg P(landing) = P(one uninterrupted
+    # compile+measure fits the budget) — any cap split is strictly worse
+    # (round 5 measured it: a 940 s wave compile was killed at the old
+    # 940 s first cap, the 295 s retry restarted the compile from scratch,
+    # value 0.0; the same budget as one attempt would have landed anything
+    # up to ~1240 s, and the morning's wave compiled this program in
+    # 790 s). The leg emits cumulative JSON, so a timeout after the image
+    # number but mid-text still keeps `value`. A fast rc!=0 failure (a
+    # code bug, not relay weather) breaks out after two tries; attempting
+    # other legs before the headline lands buys nothing — round 4 measured
+    # 4 consecutive timeouts and zero numbers that way.
     quick_failures = 0
     attempts = 0
     while _HEADLINE_KEY not in result and remaining_s() >= 60 and attempts < 4 and quick_failures < 2:
-        cap = min(_HEADLINE_FIRST_CAP_S, remaining_s()) if attempts == 0 else remaining_s()
+        cap = remaining_s()
         t0 = time.time()
         attempt("headline", cap)
         if _HEADLINE_KEY not in result and time.time() - t0 < 30:
