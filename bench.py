@@ -663,10 +663,20 @@ def main() -> None:
         here: a killed compile does not persist, and the Phase-3 shared
         retry pass is the right venue for those."""
         print(f"[bench] leg {name} (timeout {leg_timeout:.0f}s)", file=sys.stderr, flush=True)
+        t0 = time.time()
         status = run_once(name, leg_timeout)
-        if status == "fail" and remaining_s() > 60:
-            print(f"[bench] leg {name} failed (rc!=0) - immediate retry", file=sys.stderr, flush=True)
-            status = run_once(name, min(leg_timeout, remaining_s()))
+        if status == "fail":
+            # the retry gets the leg's UNUSED cap remainder (bounded by the
+            # global budget), not a second full cap — one flaky leg must not
+            # consume ~2x its budget share and starve the later legs
+            retry_cap = min(leg_timeout - (time.time() - t0), remaining_s())
+            if retry_cap >= 60:
+                print(f"[bench] leg {name} failed (rc!=0) - immediate retry ({retry_cap:.0f}s)", file=sys.stderr, flush=True)
+                # give the single-client relay a beat to reap the abnormally
+                # ended session before the retry connects (timeout path
+                # sleeps 10 s for the same reason)
+                time.sleep(5)
+                status = run_once(name, retry_cap)
         return status == "ok"
 
     # --- Phase 1: SURVIVAL. Land the headline number before anything else.
@@ -689,7 +699,12 @@ def main() -> None:
         cap = remaining_s()
         t0 = time.time()
         attempt("headline", cap)
-        if _HEADLINE_KEY not in result and time.time() - t0 < 30:
+        # an attempt is now up to TWO runs (the immediate rc!=0 retry), and
+        # a code-bug crash can still pay the ~15-25 s jax-import/backend
+        # phase per run — 90 s covers two such crashes while staying far
+        # under any legitimate failure (a weather failure either times out
+        # at the cap or burns minutes in compile first)
+        if _HEADLINE_KEY not in result and time.time() - t0 < 90:
             quick_failures += 1
         attempts += 1
     headline_complete = _HEADLINE_KEY in result and "text_embeddings_per_sec" in result

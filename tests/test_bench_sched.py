@@ -173,6 +173,35 @@ def test_transient_relay_error_immediate_retry_skips_done_measurement(sched, cap
     assert len(headline_calls) == 2
     # the retry attempt carried the already-captured image key
     assert "image_embeddings_per_sec_bf16" in headline_calls[1][2]
+    # ... and got the UNUSED cap remainder (first cap − 90 s elapsed),
+    # not a second full cap
+    assert headline_calls[1][1] == pytest.approx(headline_calls[0][1] - 90, abs=2)
+
+
+def test_late_transient_failure_does_not_starve_later_legs(sched, capsys):
+    """Finding from the round-5 review: a leg that fails rc!=0 near the END
+    of its cap must not receive a second full cap (one flaky leg would eat
+    ~2x its budget share). With <60 s of its own cap left, the immediate
+    retry is skipped entirely and the leg falls through to the Phase-3
+    pass; every later leg still runs."""
+    scripts = {
+        "headline": [(100, HEAD_FULL, 0)],
+        **SURPLUS_OK,
+        # e2e dies rc!=0 at 590 s of its 600 s cap -> unused remainder 10 s
+        # < 60 s -> no immediate retry; Phase 3 retries it with budget share
+        "e2e": [
+            (590, [J({"e2e_detect_20k_seconds": 30.0})], 1),
+            (50, [J({"e2e_detect_20k_warm_seconds": 4.5})], 0),
+        ],
+    }
+    relay, final = sched(scripts, capsys)
+    e2e_calls = [c for c in relay.calls if c[0] == "e2e"]
+    assert len(e2e_calls) == 2  # the second is the Phase-3 retry
+    # the legs AFTER e2e in the surplus plan all still ran
+    for name in SURPLUS_ORDER[SURPLUS_ORDER.index("e2e") + 1:]:
+        assert name in [c[0] for c in relay.calls]
+    assert final["legs_failed"] == []
+    assert final["e2e_detect_20k_warm_seconds"] == 4.5
 
 
 def test_headline_timeout_keeps_cumulative_value(sched, capsys):
