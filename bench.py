@@ -499,6 +499,14 @@ def _leg_e2e(out, n: int = 20_000):
         t0 = time.time()
         res_w = run_detection(cfg)
         out["e2e_detect_20k_warm_seconds"] = round(time.time() - t0, 1)
+        # phase-timer sum alongside the wall: in full-bench context the warm
+        # wall reads ~1.7-2 s above the standalone/probe value (4.4-4.5 vs
+        # 2.5-2.7 s, round 5) — the phases themselves stay ~2.2 s, so the
+        # delta is relay/dispatch state after the prior legs, and recording
+        # both keeps that attribution in the driver record
+        timing_w = res_w.get("phase_timing") or {}
+        if timing_w:
+            out["e2e_detect_20k_warm_phase_seconds"] = round(sum(timing_w.values()), 1)
         auroc_w = res_w["agg_results"]["know_val_labels"]["test"]["AUROC"]
         assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
         _emit(out)
