@@ -467,7 +467,17 @@ def _leg_e2e(out, n: int = 20_000):
     run_lemon.py:136-164) and — with the round-4 lazy render + generator
     fingerprint keying — reads zero pixels, so it measures the detection
     pipeline proper. Cumulative JSON is emitted after cold, so a timeout
-    during warm keeps the cold result."""
+    during warm keeps the cold result.
+
+    Retry semantics (round-5 review finding): the embedding cache lives at
+    a STABLE path and is deleted only when this process is about to
+    measure cold — so a Phase-3 retry whose LEMON_BENCH_HAVE carries the
+    cold keys skips straight to warm and reads the first attempt's cache
+    (entries are content-addressed generator fingerprints, so reuse is
+    bit-safe) instead of re-paying the full cold pipeline inside its
+    shared end-of-budget slice. The next full bench invocation measures
+    cold honestly again because its own cold path deletes the cache
+    first."""
     import shutil
     import tempfile
 
@@ -477,9 +487,13 @@ def _leg_e2e(out, n: int = 20_000):
     # ambient env says); fp32 remains the AUROC-parity mode and the int8
     # drift study lives in BENCH_NOTES.
     os.environ["LEMON_TPU_PRECISION"] = "bf16"
-    cache_dir = tempfile.mkdtemp(prefix="lemon_bench_emb_")
+    cache_dir = os.path.join(tempfile.gettempdir(), "lemon_bench_emb_cache")
+    auroc = None
+    if not _done("e2e_detect_20k_seconds"):
+        shutil.rmtree(cache_dir, ignore_errors=True)  # guarantee COLD semantics
+    os.makedirs(cache_dir, exist_ok=True)
     cfg = _e2e_config(n, cache_dir)
-    try:
+    if not _done("e2e_detect_20k_seconds"):
         _note("e2e: cold run_detection")
         t0 = time.time()
         res = run_detection(cfg)
@@ -495,6 +509,9 @@ def _leg_e2e(out, n: int = 20_000):
             # FICTIONAL 3.9 GB by this and is retired (round 4).
             out["e2e_detect_20k_embed_seconds"] = round(embed_s, 1)
         _emit(out)
+    else:
+        _note("e2e: cold already captured - skipping to warm")
+    if not _done("e2e_detect_20k_warm_seconds"):
         _note("e2e: warm run_detection")
         t0 = time.time()
         res_w = run_detection(cfg)
@@ -508,10 +525,14 @@ def _leg_e2e(out, n: int = 20_000):
         if timing_w:
             out["e2e_detect_20k_warm_phase_seconds"] = round(sum(timing_w.values()), 1)
         auroc_w = res_w["agg_results"]["know_val_labels"]["test"]["AUROC"]
-        assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
+        if auroc is not None:
+            assert abs(float(auroc_w) - float(auroc)) < 1e-6, "cache changed results"
+        else:
+            # retry path: the cold AUROC lives in the parent's merged result
+            # (keys-only ride in LEMON_BENCH_HAVE), so record the warm one
+            # for the cross-attempt consistency check instead of asserting
+            out["e2e_detect_20k_test_auroc_warm"] = round(float(auroc_w), 4)
         _emit(out)
-    finally:
-        shutil.rmtree(cache_dir, ignore_errors=True)
 
 
 _LEGS = {

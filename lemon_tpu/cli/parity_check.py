@@ -48,18 +48,40 @@ _ASSET_FILES = {
 _ASSET_TARBALLS = {"cifar10": "cifar-10-python.tar.gz", "cifar100": "cifar-100-python.tar.gz"}
 
 
-def _find_hf_clip_checkpoint():
+def _find_hf_clip_checkpoint(extra_roots=()):
     """openai/clip-vit-base-patch32 weights: env var, data-root checkpoints
-    dir (registry resolution order, models/registry.py:41-51), then any
-    huggingface_hub cache on disk."""
+    dirs (registry resolution order, models/registry.py:41-51 — the env
+    root, ``extra_roots``, then every candidate root so --auto finds a
+    checkpoint wherever the datasets were found), then any huggingface_hub
+    cache on disk.
+
+    An explicitly-set LEMON_TPU_CKPT_HUGGINGFACE_CLIP pointing at a
+    missing file is a hard error, NOT a fallthrough — silently
+    substituting a different checkpoint would report a parity AUROC
+    against weights the user did not select."""
     env = os.environ.get("LEMON_TPU_CKPT_HUGGINGFACE_CLIP")
-    if env and Path(env).expanduser().exists():
-        return Path(env).expanduser()
-    root = Path(os.environ.get("LEMON_TPU_DATA_ROOT", "./data")).expanduser()
-    for suffix in (".npz", ".pt", ".bin", ".safetensors"):
-        cand = root / "checkpoints" / f"huggingface_clip{suffix}"
-        if cand.exists():
-            return cand
+    if env:
+        if Path(env).expanduser().exists():
+            return Path(env).expanduser()
+        sys.exit(
+            f"LEMON_TPU_CKPT_HUGGINGFACE_CLIP={env!r} does not exist; refusing "
+            "to fall back to another checkpoint (unset the variable to let "
+            "parity_check probe the data roots and HF hub cache)."
+        )
+    roots = []
+    if os.environ.get("LEMON_TPU_DATA_ROOT"):
+        roots.append(os.environ["LEMON_TPU_DATA_ROOT"])
+    roots += list(extra_roots) + list(_CANDIDATE_ROOTS)
+    seen = set()
+    for root in roots:
+        root = Path(root).expanduser()
+        if root in seen:
+            continue
+        seen.add(root)
+        for suffix in (".npz", ".pt", ".bin", ".safetensors"):
+            cand = root / "checkpoints" / f"huggingface_clip{suffix}"
+            if cand.exists():
+                return cand
     hub_roots = [Path(os.environ.get("HF_HOME", "~/.cache/huggingface")).expanduser() / "hub"]
     if os.environ.get("HF_HUB_CACHE"):
         hub_roots.insert(0, Path(os.environ["HF_HUB_CACHE"]).expanduser())
@@ -103,7 +125,9 @@ def probe_assets():
             if root is not None and root != data_root:
                 found[name] = None
 
-    ckpt = _find_hf_clip_checkpoint()
+    ckpt = _find_hf_clip_checkpoint(
+        extra_roots=[str(data_root)] if data_root is not None else ()
+    )
     configs = []
     if ckpt is not None:
         for ds, human in (("cifar10", "cifar10n"), ("cifar100", "cifar100n")):
@@ -151,10 +175,21 @@ def _auto(args):
         if args.platform:
             argv += ["--platform", args.platform]
         print(f"[parity_check --auto] running {cfg}", flush=True)
-        main(argv)
-        reports.append(json.loads((sub / "parity.json").read_text()))
+        # Per-config isolation: one failing configuration must not discard
+        # the completed reports of a multi-hour sweep — record the error
+        # and keep going; parity_auto.json is always written.
+        try:
+            main(argv)
+            reports.append(json.loads((sub / "parity.json").read_text()))
+        except (Exception, SystemExit) as e:  # noqa: BLE001
+            print(f"[parity_check --auto] {cfg} FAILED: {e!r}", flush=True)
+            reports.append({**cfg, "error": repr(e)})
+    out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "parity_auto.json").write_text(json.dumps(reports, indent=2))
     print(json.dumps({"auto_reports": reports}))
+    if any("error" in r for r in reports):
+        sys.exit(f"parity_check --auto: {sum('error' in r for r in reports)} of "
+                 f"{len(reports)} configurations failed (see parity_auto.json)")
 
 
 def main(argv=None):
