@@ -238,3 +238,50 @@ def test_fast_code_failure_does_not_spin(sched, capsys):
     # int8 fallback becomes the headline value
     assert final["value"] == 18300.0
     assert final["image_embed_mode"] == "int8_static"
+
+
+def test_leg_e2e_retry_skips_cold_and_keeps_cache(monkeypatch, tmp_path, capsys):
+    """The e2e leg's retry semantics (round-5 review finding): with the
+    cold keys in LEMON_BENCH_HAVE the leg must NOT delete the stable
+    embedding-cache dir and must run ONLY the warm detection; without
+    them it must reset the cache first so cold stays honest."""
+    import tempfile
+
+    calls = []
+
+    def fake_run_detection(cfg):
+        calls.append(cfg.embedding_cache)
+        return {
+            "agg_results": {"know_val_labels": {"test": {"AUROC": 0.96}}},
+            "phase_timing": {"knn_search": 0.3, "components": 0.4},
+        }
+
+    import lemon_tpu.detect as detect
+
+    monkeypatch.setattr(detect, "run_detection", fake_run_detection)
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    cache_dir = tmp_path / "lemon_bench_emb_cache"
+    sentinel = cache_dir / "prior_attempt.npz"
+    sentinel.parent.mkdir(parents=True)
+    sentinel.write_bytes(b"x")
+
+    # retry path: cold keys present -> cache kept, ONE (warm) run only
+    monkeypatch.setattr(bench, "_HAVE_KEYS", frozenset(
+        {"e2e_detect_20k_seconds", "e2e_detect_20k_test_auroc"}))
+    out = {}
+    bench._leg_e2e(out)
+    assert len(calls) == 1  # warm only
+    assert sentinel.exists()  # the first attempt's cache survived
+    assert "e2e_detect_20k_seconds" not in out
+    assert out["e2e_detect_20k_warm_phase_seconds"] == 0.7
+    assert out["e2e_detect_20k_test_auroc_warm"] == 0.96
+
+    # fresh path: no keys -> cache reset before cold, cold + warm run
+    calls.clear()
+    monkeypatch.setattr(bench, "_HAVE_KEYS", frozenset())
+    out = {}
+    bench._leg_e2e(out)
+    assert len(calls) == 2  # cold then warm
+    assert not sentinel.exists()  # stale cache deleted for honest cold
+    assert out["e2e_detect_20k_seconds"] >= 0
+    assert out["e2e_detect_20k_test_auroc"] == 0.96
