@@ -24,6 +24,7 @@ field under every scenario. Design under test (commits b2ddbe7, dcc41c4,
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -246,6 +247,13 @@ def test_leg_e2e_retry_skips_cold_and_keeps_cache(monkeypatch, tmp_path, capsys)
     embedding-cache dir and must run ONLY the warm detection; without
     them it must reset the cache first so cold stays honest."""
     import tempfile
+
+    # _leg_e2e sets LEMON_TPU_PRECISION=bf16 — intended in its production
+    # subprocess, but HERE it runs in-process and would leak bf16 numerics
+    # into every later test (14 golden-parity tests went red exactly this
+    # way, 2026-08-21). setenv registers the original state for teardown
+    # restore even though the leg overwrites the value mid-test.
+    monkeypatch.setenv("LEMON_TPU_PRECISION", os.environ.get("LEMON_TPU_PRECISION", "fp32"))
 
     calls = []
 
